@@ -1,0 +1,192 @@
+"""QM9 data pipeline.
+
+Mirrors the reference notebooks' preparation (SURVEY.md §2.8):
+``qm9_.csv`` = 133,885 SMILES + 12 property columns; properties scaled with
+MinMax(-1, 1); SMILES char-tokenized (keras-ordered); padded post/post;
+inverse-diffusion input is one-hot with 0 -> -1.
+
+The reference downloads the CSV from Dropbox (`README.md:30`) and the blob is
+absent from this snapshot, so ``load_qm9`` takes a path and
+``synthetic_qm9`` provides a deterministic stand-in with the same schema for
+tests and benchmarks.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .preprocess import MinMaxScaler, train_test_split_indices
+from .tokenizer import (CharTokenizer, add_start_end_char, one_hot_signed,
+                        pad_sequences)
+
+PROPERTY_NAMES: Tuple[str, ...] = (
+    "mu", "alpha", "homo", "lumo", "gap", "r2",
+    "zpve", "cv", "u0", "u298", "h298", "g298",
+)
+NUM_PROPERTIES = len(PROPERTY_NAMES)
+
+
+def load_qm9(csv_path: str, smiles_column: str = "smiles",
+             max_rows: Optional[int] = None) -> Tuple[List[str], np.ndarray]:
+    """Load (smiles, properties[n, 12]) from the reference CSV."""
+    import csv
+
+    smiles: List[str] = []
+    rows: List[List[float]] = []
+    with open(csv_path, newline="") as f:
+        reader = csv.DictReader(f)
+        cols = [c for c in PROPERTY_NAMES if c in (reader.fieldnames or [])]
+        if len(cols) != NUM_PROPERTIES:
+            raise ValueError(
+                f"CSV at {csv_path} missing property columns; found {cols}")
+        smi_col = smiles_column if smiles_column in reader.fieldnames else None
+        if smi_col is None:
+            for cand in ("smiles", "SMILES", "canonical_smiles"):
+                if cand in reader.fieldnames:
+                    smi_col = cand
+                    break
+        if smi_col is None:
+            raise ValueError(f"No SMILES column in {csv_path}")
+        for i, row in enumerate(reader):
+            if max_rows is not None and i >= max_rows:
+                break
+            smiles.append(row[smi_col])
+            rows.append([float(row[c]) for c in PROPERTY_NAMES])
+    return smiles, np.asarray(rows, dtype=np.float32)
+
+
+_SYNTH_ATOMS = ["C", "N", "O", "F"]
+_SYNTH_DECOR = ["", "1", "(", ")", "=", "#"]
+
+
+def synthetic_qm9(n: int = 2048, seed: int = 0,
+                  max_atoms: int = 9) -> Tuple[List[str], np.ndarray]:
+    """Deterministic QM9-schema stand-in: short organic-ish strings over the
+    QM9 character set + 12 correlated pseudo-properties.  NOT chemically
+    valid in general — used for pipeline tests and throughput benchmarks."""
+    rng = np.random.RandomState(seed)
+    smiles: List[str] = []
+    for _ in range(n):
+        length = rng.randint(3, max_atoms + 1)
+        parts = []
+        open_ring = False
+        for j in range(length):
+            parts.append(_SYNTH_ATOMS[rng.randint(len(_SYNTH_ATOMS))])
+            r = rng.randint(6)
+            if r == 1 and not open_ring and j < length - 2:
+                parts.append("1")
+                open_ring = True
+            elif r == 2 and open_ring:
+                parts.append("1")
+                open_ring = False
+            elif r == 3 and j < length - 1:
+                parts.append("=")
+        if open_ring:
+            parts.append("1")
+        smiles.append("".join(parts))
+    # pseudo-properties: deterministic functions of composition + noise
+    feats = np.zeros((n, NUM_PROPERTIES), dtype=np.float32)
+    for i, s in enumerate(smiles):
+        counts = np.array([s.count(a) for a in _SYNTH_ATOMS], dtype=np.float32)
+        base = np.concatenate([counts, [len(s), s.count("="), s.count("1"),
+                                        counts.sum()]])
+        proj = np.outer(np.arange(1, NUM_PROPERTIES + 1),
+                        np.arange(1, len(base) + 1)) % 7 - 3
+        feats[i] = proj @ base
+    feats += rng.randn(n, NUM_PROPERTIES).astype(np.float32) * 0.1
+    return smiles, feats
+
+
+@dataclass
+class QM9Data:
+    """Fully prepared dataset for one model family."""
+    tokenizer: CharTokenizer
+    scaler: MinMaxScaler
+    X_train: np.ndarray     # tokenized (or one-hot) SMILES
+    X_test: np.ndarray
+    y_train: np.ndarray     # scaled properties (n, 12)
+    y_test: np.ndarray
+    smiles: List[str]       # full corpus (novelty reference set)
+    x_norm_factor: float = 1.0
+
+    @property
+    def vocab_size(self) -> int:
+        return self.tokenizer.num_tokens
+
+
+def prepare_qm9(smiles: Sequence[str], properties: np.ndarray, *,
+                mode: str = "inverse_diffusion",
+                max_length: Optional[int] = None,
+                test_size: float = 0.1,
+                random_state: int = 235,
+                start_char: str = "@", end_char: str = "$") -> QM9Data:
+    """Replicates the notebook preparation for each of the four model flows.
+
+    mode:
+      * "forward_diffusion":   X = token ids / max_id, max_length 64
+                               (Forward_Diffusion.ipynb cells 40-41)
+      * "inverse_diffusion":   X = one-hot(0 -> -1) of ids, (n, 32, vocab)
+                               (Inverse_Diffusion.ipynb cells 44-47)
+      * "transformer":         X = token ids with @/$ delimiters, max_length 64
+                               (Inverse_Transformer.ipynb cells 27-31)
+    """
+    properties = np.asarray(properties, dtype=np.float32)
+    scaler = MinMaxScaler((-1.0, 1.0))
+    y_scaled = scaler.fit_transform(properties).astype(np.float32)
+
+    texts = list(smiles)
+    if mode == "transformer":
+        texts = add_start_end_char(texts, start_char, end_char)
+
+    tokenizer = CharTokenizer().fit_on_texts(texts)
+    seqs = tokenizer.texts_to_sequences(texts)
+
+    if mode == "forward_diffusion":
+        max_length = 64 if max_length is None else max_length
+        ids = pad_sequences(seqs, max_length)
+        x_norm = float(tokenizer.vocab_size)
+        X = (ids.astype(np.float32) / x_norm)
+    elif mode == "inverse_diffusion":
+        max_length = 32 if max_length is None else max_length
+        ids = pad_sequences(seqs, max_length)
+        X = one_hot_signed(ids, tokenizer.num_tokens)   # (n, L, vocab)
+        x_norm = 1.0
+    elif mode == "transformer":
+        max_length = 64 if max_length is None else max_length
+        X = pad_sequences(seqs, max_length).astype(np.int32)
+        x_norm = 1.0
+    else:
+        raise ValueError(f"Unknown mode: {mode}")
+
+    train_idx, test_idx = train_test_split_indices(len(X), test_size,
+                                                   random_state)
+    return QM9Data(
+        tokenizer=tokenizer, scaler=scaler,
+        X_train=X[train_idx], X_test=X[test_idx],
+        y_train=y_scaled[train_idx], y_test=y_scaled[test_idx],
+        smiles=list(smiles), x_norm_factor=x_norm,
+    )
+
+
+def is_novel(all_smiles: Sequence[str], smi: str) -> bool:
+    """Membership-novelty test (reference `generative.py:1063-1067`)."""
+    return smi not in all_smiles
+
+
+def batch_iterator(X: np.ndarray, y: np.ndarray, batch_size: int, *,
+                   rng: Optional[np.random.RandomState] = None,
+                   shuffle: bool = True,
+                   drop_remainder: bool = True) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Host-side batch stream.  With ``drop_remainder`` every batch has a
+    static shape, so the jitted train step compiles once."""
+    n = len(X)
+    idx = np.arange(n)
+    if shuffle:
+        (rng or np.random.RandomState(0)).shuffle(idx)
+    stop = (n // batch_size) * batch_size if drop_remainder else n
+    for start in range(0, stop, batch_size):
+        sel = idx[start:start + batch_size]
+        yield X[sel], y[sel]

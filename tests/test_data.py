@@ -1,0 +1,132 @@
+"""Data-layer parity: tokenizer vs keras semantics, scaler/split/r2 vs sklearn."""
+import numpy as np
+import pytest
+
+from moleculediffusiontransformer_tpu.data.tokenizer import (
+    CharTokenizer, add_start_end_char, encode_smiles_one_hot, one_hot_signed,
+    pad_sequences, remove_start_end_token_first)
+from moleculediffusiontransformer_tpu.data.preprocess import (
+    MinMaxScaler, r2_score, train_test_split_indices)
+from moleculediffusiontransformer_tpu.data.qm9 import (
+    batch_iterator, prepare_qm9, synthetic_qm9)
+
+SMILES = ["CCO", "C1CC1", "N#CC=O", "CC(C)=O", "OCC1CO1", "FC=CF"]
+
+
+def test_tokenizer_frequency_order():
+    tok = CharTokenizer().fit_on_texts(SMILES)
+    # 'C' is most frequent -> id 1
+    assert tok.word_index["C"] == 1
+    counts = {ch: sum(s.count(ch) for s in SMILES) for ch in tok.word_index}
+    ids_sorted = sorted(tok.word_index, key=tok.word_index.get)
+    for a, b in zip(ids_sorted, ids_sorted[1:]):
+        assert counts[a] >= counts[b]
+
+
+def test_tokenizer_matches_qm9_notebook_order():
+    # QM9 vocabulary: 'C' most frequent, then ring-1, then 'O' (SURVEY §2.8,
+    # notebook word_index {"C":1,"1":2,"O":3,...}); reproduce the tie rule:
+    # equal counts -> first-seen wins.
+    texts = ["CC1O", "1CO", "CXY", "YX"]
+    tok = CharTokenizer().fit_on_texts(texts)
+    assert tok.word_index["C"] == 1
+    # '1' and 'O' both occur twice; '1' appears first in corpus
+    assert tok.word_index["1"] == 2
+    assert tok.word_index["O"] == 3
+    # 'X' and 'Y': X first seen before Y, both count 2
+    assert tok.word_index["X"] == 4 and tok.word_index["Y"] == 5
+
+
+def test_tokenizer_matches_keras_if_available():
+    keras_text = pytest.importorskip("tensorflow.keras.preprocessing.text")
+    ktok = keras_text.Tokenizer(char_level=True, filters="", lower=False)
+    ktok.fit_on_texts(SMILES)
+    tok = CharTokenizer().fit_on_texts(SMILES)
+    assert tok.word_index == ktok.word_index
+
+
+def test_roundtrip_decode():
+    tok = CharTokenizer().fit_on_texts(SMILES)
+    seqs = tok.texts_to_sequences(SMILES)
+    assert tok.decode(seqs) == SMILES
+    # padded ids decode dropping zeros, like keras sequences_to_texts
+    padded = pad_sequences(seqs, 10)
+    assert tok.decode(padded) == SMILES
+
+
+def test_pad_sequences_post_post():
+    out = pad_sequences([[1, 2, 3], [4]], maxlen=2)
+    assert out.tolist() == [[1, 2], [4, 0]]
+    out = pad_sequences([[1, 2, 3]], maxlen=5)
+    assert out.tolist() == [[1, 2, 3, 0, 0]]
+
+
+def test_one_hot_signed():
+    oh = one_hot_signed(np.array([[0, 2]]), num_classes=4)
+    assert oh.shape == (1, 2, 4)
+    assert oh[0, 0].tolist() == [1.0, -1.0, -1.0, -1.0]
+    assert oh[0, 1].tolist() == [-1.0, -1.0, 1.0, -1.0]
+    # round trip via argmax
+    assert oh.argmax(-1).tolist() == [[0, 2]]
+
+
+def test_start_end_tokens():
+    assert add_start_end_char(["CC"]) == ["@CC$"]
+    assert remove_start_end_token_first("@CC$XX") == "CC"
+    assert remove_start_end_token_first("@CC") == "CC"
+
+
+def test_minmax_scaler_vs_sklearn():
+    sk = pytest.importorskip("sklearn.preprocessing")
+    x = np.random.RandomState(0).randn(100, 12) * 5 + 3
+    ours = MinMaxScaler((-1, 1)).fit(x)
+    theirs = sk.MinMaxScaler(feature_range=(-1, 1)).fit(x)
+    np.testing.assert_allclose(ours.transform(x), theirs.transform(x),
+                               rtol=1e-12)
+    np.testing.assert_allclose(ours.inverse_transform(ours.transform(x)), x,
+                               rtol=1e-9)
+
+
+def test_split_vs_sklearn():
+    skms = pytest.importorskip("sklearn.model_selection")
+    x = np.arange(1003)
+    tr, te = train_test_split_indices(1003, 0.1, 235)
+    sk_tr, sk_te = skms.train_test_split(x, test_size=0.1, random_state=235)
+    np.testing.assert_array_equal(x[tr], sk_tr)
+    np.testing.assert_array_equal(x[te], sk_te)
+
+
+def test_r2_vs_sklearn():
+    skm = pytest.importorskip("sklearn.metrics")
+    rng = np.random.RandomState(1)
+    a, b = rng.randn(200), rng.randn(200)
+    assert abs(r2_score(a, b) - skm.r2_score(a, b)) < 1e-12
+
+
+def test_prepare_qm9_modes():
+    smiles, props = synthetic_qm9(128, seed=3)
+    inv = prepare_qm9(smiles, props, mode="inverse_diffusion")
+    assert inv.X_train.shape[1:] == (32, inv.vocab_size)
+    assert inv.y_train.shape[1] == 12
+    assert inv.y_train.min() >= -1.0 - 1e-6 and inv.y_train.max() <= 1.0 + 1e-6
+    assert len(inv.X_test) == int(np.ceil(0.1 * 128))
+
+    fwd = prepare_qm9(smiles, props, mode="forward_diffusion")
+    assert fwd.X_train.shape[1] == 64
+    assert fwd.X_train.max() <= 1.0  # ids / max_id
+    assert fwd.x_norm_factor == fwd.tokenizer.vocab_size
+
+    tr = prepare_qm9(smiles, props, mode="transformer")
+    assert tr.X_train.dtype == np.int32
+    # delimiters present in vocabulary
+    assert "@" in tr.tokenizer.word_index and "$" in tr.tokenizer.word_index
+
+
+def test_batch_iterator_static_shapes():
+    smiles, props = synthetic_qm9(100, seed=5)
+    d = prepare_qm9(smiles, props, mode="inverse_diffusion")
+    batches = list(batch_iterator(d.X_train, d.y_train, 32,
+                                  rng=np.random.RandomState(0)))
+    assert len(batches) == len(d.X_train) // 32
+    for bx, by in batches:
+        assert bx.shape[0] == 32 and by.shape[0] == 32
