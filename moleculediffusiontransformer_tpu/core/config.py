@@ -183,7 +183,9 @@ class EncoderConfig:
 
 
 def forward_transformer_qm9() -> EncoderConfig:
-    """Forward property-predictor notebook preset: 3,162,496 params."""
-    return EncoderConfig(dim=256, depth=6, heads=16, logits_dim=12,
-                         logits_dim_length=1, max_length=64, max_tokens=25,
-                         embed_dim=64)
+    """Forward property-predictor notebook preset
+    (Forward_Transformer.ipynb cell 57): 3,162,496 params; output
+    (b, 1, 12) — one logits channel projected onto 12 property slots."""
+    return EncoderConfig(dim=256, depth=6, heads=16, ff_mult=2,
+                         logits_dim=1, logits_dim_length=12, max_length=64,
+                         max_tokens=24, embed_dim=16, dropout=0.1)

@@ -1,0 +1,9 @@
+"""Inverse-design pipeline: generate -> validate -> re-score -> novelty."""
+from .inverse_design import (HAS_RDKIT, canonicalize, decode_one_hot,
+                             evaluate_generated,
+                             generate_from_conditioning,
+                             generate_from_conditioning_transformer,
+                             inpaint_from_draft_and_conditioning,
+                             predict_properties_from_smiles,
+                             predict_properties_from_smiles_transformer,
+                             rescore_generated, smiles_is_valid)

@@ -1,0 +1,211 @@
+"""Attention and transformer blocks inside the UNet
+(reference `modules.py:265-524`).
+
+Channels-last; softmax in fp32.  The attention math is expressed so XLA can
+fuse the whole block; a Pallas flash-attention kernel can be swapped in via
+``ops.attention`` for long sequences (QM9 lengths are 8-64, where the fused
+XLA einsum path is already MXU-bound).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .primitives import (Conv1d, Dense, Dtype, GroupNorm, LayerNorm,
+                         gelu, mm_precision)
+
+
+def relative_position_bucket(relative_position: np.ndarray, num_buckets: int,
+                             max_distance: int) -> np.ndarray:
+    """T5 bucketing (reference `modules.py:273-297`).  Host-side numpy —
+    positions are static under jit."""
+    num_buckets //= 2
+    ret = (relative_position >= 0).astype(np.int64) * num_buckets
+    n = np.abs(relative_position)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = (max_exact
+                    + (np.log(np.maximum(n, 1).astype(np.float32) / max_exact)
+                       / math.log(max_distance / max_exact)
+                       * (num_buckets - max_exact)).astype(np.int64))
+    val_if_large = np.minimum(val_if_large, num_buckets - 1)
+    return ret + np.where(is_small, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    """T5-style bucketed relative bias (reference `modules.py:265-311`)."""
+    num_buckets: int
+    max_distance: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, num_queries: int, num_keys: int) -> jax.Array:
+        i, j = num_queries, num_keys
+        q_pos = np.arange(j - i, j, dtype=np.int64)
+        k_pos = np.arange(j, dtype=np.int64)
+        rel_pos = k_pos[None, :] - q_pos[:, None]
+        buckets = relative_position_bucket(rel_pos, self.num_buckets,
+                                           self.max_distance)
+        table = self.param("relative_attention_bias",
+                           nn.initializers.normal(stddev=1.0),
+                           (self.num_buckets, self.num_heads))
+        bias = jnp.take(table, jnp.asarray(buckets), axis=0)  # (i, j, h)
+        return jnp.transpose(bias, (2, 0, 1))[None].astype(self.dtype)
+
+
+def feed_forward(x: jax.Array, features: int, multiplier: int,
+                 name: str = "feed_forward",
+                 dtype: Dtype = jnp.float32) -> jax.Array:
+    """Linear-GELU-Linear (reference `modules.py:314-320`); inlined with
+    torch-Sequential child names ``{name}_0`` / ``{name}_2``."""
+    x = Dense(features * multiplier, dtype=dtype, name=f"{name}_0")(x)
+    x = gelu(x)
+    return Dense(features, dtype=dtype, name=f"{name}_2")(x)
+
+
+class AttentionBase(nn.Module):
+    """Multi-head SDPA core + output projection
+    (reference `modules.py:323-364`).  Note the reference adds the relative
+    bias BEFORE applying the 1/sqrt(d) scale; mirrored exactly."""
+    features: int
+    head_features: int
+    num_heads: int
+    use_rel_pos: bool = False
+    rel_pos_num_buckets: Optional[int] = None
+    rel_pos_max_distance: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+        b, n, _ = q.shape
+        m = k.shape[1]
+        h, d = self.num_heads, self.head_features
+
+        def split_heads(t):
+            return jnp.transpose(t.reshape(b, -1, h, d), (0, 2, 1, 3))
+
+        q, k, v = map(split_heads, (q, k, v))
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                         preferred_element_type=jnp.float32,
+                         precision=mm_precision(self.dtype))
+        if self.use_rel_pos:
+            sim = sim + RelativePositionBias(
+                self.rel_pos_num_buckets, self.rel_pos_max_distance,
+                h, dtype=jnp.float32, name="rel_pos")(n, m)
+        sim = sim * (d ** -0.5)
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v,
+                         preferred_element_type=self.dtype,
+                         precision=mm_precision(self.dtype))
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
+        return Dense(self.features, dtype=self.dtype, name="to_out")(out)
+
+
+class Attention(nn.Module):
+    """Pre-LN attention with fused KV projection; cross-attention when
+    ``context_features`` is set (reference `modules.py:367-410`)."""
+    features: int
+    head_features: int
+    num_heads: int
+    context_features: Optional[int] = None
+    use_rel_pos: bool = False
+    rel_pos_num_buckets: Optional[int] = None
+    rel_pos_max_distance: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 context: Optional[jax.Array] = None) -> jax.Array:
+        assert not (self.context_features and context is None), \
+            "You must provide a context when using context_features"
+        context = context if context is not None else x
+        mid = self.head_features * self.num_heads
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
+        context = LayerNorm(dtype=self.dtype, name="norm_context")(context)
+        q = Dense(mid, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = Dense(mid * 2, use_bias=False, dtype=self.dtype,
+                   name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        return AttentionBase(self.features, head_features=self.head_features,
+                             num_heads=self.num_heads,
+                             use_rel_pos=self.use_rel_pos,
+                             rel_pos_num_buckets=self.rel_pos_num_buckets,
+                             rel_pos_max_distance=self.rel_pos_max_distance,
+                             dtype=self.dtype, name="attention")(q, k, v)
+
+
+class TransformerBlock(nn.Module):
+    """Self-attn [+ cross-attn] + FF, all residual
+    (reference `modules.py:418-461`)."""
+    features: int
+    num_heads: int
+    head_features: int
+    multiplier: int
+    use_rel_pos: bool = False
+    rel_pos_num_buckets: Optional[int] = None
+    rel_pos_max_distance: Optional[int] = None
+    context_features: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 context: Optional[jax.Array] = None) -> jax.Array:
+        use_cross = (self.context_features is not None
+                     and self.context_features > 0)
+        x = Attention(self.features, head_features=self.head_features,
+                      num_heads=self.num_heads, use_rel_pos=self.use_rel_pos,
+                      rel_pos_num_buckets=self.rel_pos_num_buckets,
+                      rel_pos_max_distance=self.rel_pos_max_distance,
+                      dtype=self.dtype, name="attention")(x) + x
+        if use_cross:
+            x = Attention(self.features, head_features=self.head_features,
+                          num_heads=self.num_heads,
+                          context_features=self.context_features,
+                          use_rel_pos=self.use_rel_pos,
+                          rel_pos_num_buckets=self.rel_pos_num_buckets,
+                          rel_pos_max_distance=self.rel_pos_max_distance,
+                          dtype=self.dtype,
+                          name="cross_attention")(x, context=context) + x
+        x = feed_forward(x, self.features, self.multiplier,
+                         dtype=self.dtype) + x
+        return x
+
+
+class Transformer1d(nn.Module):
+    """Stack of TransformerBlocks wrapped in GroupNorm(32, eps 1e-6) + 1x1
+    convs (reference `modules.py:469-524`).  Channels-last makes the
+    reference's b c t <-> b t c transposes no-ops here."""
+    num_layers: int
+    channels: int
+    num_heads: int
+    head_features: int
+    multiplier: int
+    use_rel_pos: bool = False
+    rel_pos_num_buckets: Optional[int] = None
+    rel_pos_max_distance: Optional[int] = None
+    context_features: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 context: Optional[jax.Array] = None) -> jax.Array:
+        x = GroupNorm(32, eps=1e-6, dtype=self.dtype, name="to_in_0")(x)
+        x = Conv1d(self.channels, kernel_size=1, padding=0, dtype=self.dtype,
+                   name="to_in_1")(x)
+        for i in range(self.num_layers):
+            x = TransformerBlock(
+                self.channels, num_heads=self.num_heads,
+                head_features=self.head_features, multiplier=self.multiplier,
+                use_rel_pos=self.use_rel_pos,
+                rel_pos_num_buckets=self.rel_pos_num_buckets,
+                rel_pos_max_distance=self.rel_pos_max_distance,
+                context_features=self.context_features,
+                dtype=self.dtype, name=f"blocks_{i}")(x, context=context)
+        return Conv1d(self.channels, kernel_size=1, padding=0,
+                      dtype=self.dtype, name="to_out_1")(x)

@@ -1,0 +1,148 @@
+"""Training: optax optimizer, jitted DP train step, epoch loops.
+
+Re-design of the reference train loops (`generative.py:488-588,1082-1174,
+1302-1533,1915-2073`): Adam(lr 2e-4) + global-norm clip 0.5
+(`generative.py:1130-1134`), periodic eval + checkpoint.  Differences by
+design:
+  * the whole step (loss, backward, clip, update) is ONE jitted XLA program;
+  * data parallelism via sharded batches on a ``('data',)`` mesh — XLA emits
+    the psum over ICI (SURVEY §2.10 table);
+  * checkpoints carry optimizer state + step (the reference loses both).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..core.checkpoint import (latest_checkpoint, restore_checkpoint,
+                               save_step_checkpoint)
+from ..core.config import TrainConfig
+from ..parallel.mesh import (batch_sharding, make_mesh, replicate,
+                             shard_batch)
+
+
+class TrainState(struct.PyTreeNode):
+    """Minimal train state: params + optimizer state + step counter."""
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """Adam + global-norm clip, matching `generative.py:1130-1134`."""
+    return optax.chain(
+        optax.clip_by_global_norm(config.grad_clip_norm),
+        optax.adam(config.learning_rate),
+    )
+
+
+def make_diffusion_train_step(model, tx: optax.GradientTransformation,
+                              donate: bool = True) -> Callable:
+    """Jitted step for the QM diffusion models:
+    ``state, (X, y), key -> state, loss`` where the model's __call__ is
+    ``(conditioning, target, key) -> loss``."""
+
+    def loss_fn(params, conditioning, target, key):
+        return model.apply({"params": params}, conditioning, target, key)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, conditioning, target, key):
+        key = jax.random.fold_in(key, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, conditioning,
+                                                  target, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss
+
+    return train_step
+
+
+@dataclass
+class MetricsLogger:
+    """JSONL-appending metrics log (replaces the reference's print+matplotlib
+    observability, SURVEY §5)."""
+    path: Optional[str] = None
+    history: List[Dict] = field(default_factory=list)
+
+    def log(self, **metrics) -> Dict:
+        rec = {k: (float(v) if hasattr(v, "__float__") else v)
+               for k, v in metrics.items()}
+        self.history.append(rec)
+        if self.path:
+            import json
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return rec
+
+
+def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
+                    config: TrainConfig, *,
+                    init_conditioning, init_target,
+                    mesh=None,
+                    eval_fn: Optional[Callable] = None,
+                    checkpoint_dir: Optional[str] = None,
+                    resume: bool = False,
+                    swap_xy: bool = False,
+                    logger: Optional[MetricsLogger] = None) -> Tuple[TrainState, MetricsLogger]:
+    """Generic trainer for both QM diffusion directions.
+
+    ``data_iter_fn()`` yields (X, y) host batches per epoch.  For the inverse
+    model conditioning=y (properties), target=X (one-hot) — pass
+    ``swap_xy=False`` with iterators already in (conditioning, target) order,
+    or ``swap_xy=True`` to swap, mirroring ``train_loop_forward``'s role swap
+    (`generative.py:525-533`).
+    """
+    logger = logger or MetricsLogger()
+    mesh = mesh or make_mesh()
+    tx = make_optimizer(config)
+
+    rng = jax.random.PRNGKey(config.seed)
+    params = model.init(rng, jnp.asarray(init_conditioning),
+                        jnp.asarray(init_target), rng)["params"]
+    state = TrainState.create(params, tx)
+    state = replicate(mesh, state)
+
+    if resume and checkpoint_dir:
+        ckpt = latest_checkpoint(checkpoint_dir)
+        if ckpt:
+            state = restore_checkpoint(ckpt, state)
+            state = replicate(mesh, state)
+
+    train_step = make_diffusion_train_step(model, tx)
+    data_key = jax.random.PRNGKey(config.seed + 1)
+
+    t0 = time.time()
+    samples_seen = 0
+    for epoch in range(config.epochs):
+        for X, y in data_iter_fn():
+            cond, target = (y, X) if not swap_xy else (X, y)
+            cond, target = shard_batch(mesh, (np.asarray(cond),
+                                              np.asarray(target)))
+            state, loss = train_step(state, cond, target, data_key)
+            samples_seen += cond.shape[0]
+            step = int(state.step)
+            if step % config.print_loss_every == 0:
+                elapsed = time.time() - t0
+                logger.log(step=step, epoch=epoch, loss=float(loss),
+                           samples_per_sec=samples_seen / max(elapsed, 1e-9))
+        if eval_fn is not None:
+            metrics = eval_fn(state)
+            logger.log(step=int(state.step), epoch=epoch, **metrics)
+        if checkpoint_dir:
+            save_step_checkpoint(checkpoint_dir,
+                                 jax.device_get(state), int(state.step))
+    return state, logger

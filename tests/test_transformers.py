@@ -1,0 +1,245 @@
+"""Transformer-stack tests: golden parity vs the reference torch models
+(imported weights), cached-decode == full-forward consistency, generation
+shape/determinism, and notebook param counts."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moleculediffusiontransformer_tpu.core import config as cfg
+from moleculediffusiontransformer_tpu.core.utils import count_parameters
+from moleculediffusiontransformer_tpu.models.transformers import (
+    MoleculeTransformer, MoleculeTransformerGPT, MoleculeTransformerSequence,
+    MoleculeTransformerSequenceEncoder,
+    MoleculeTransformerSequenceInternaldim, forward_with_cond_scale,
+    generate_gpt, generate_sequence)
+from moleculediffusiontransformer_tpu.nn import state_dict_to_params
+
+TOL = 3e-5
+
+
+def to_jax(t):
+    return jnp.asarray(t.detach().cpu().numpy())
+
+
+def import_params(module, torch_module, *args, **kwargs):
+    shapes = jax.eval_shape(module.init, jax.random.PRNGKey(0), *args,
+                            **kwargs)
+    return {"params": state_dict_to_params(torch_module.state_dict(),
+                                           shapes["params"])}
+
+
+SEQ_KW = dict(dim=32, depth=2, logits_dim=24, dim_head=8, heads=4,
+              text_embed_dim=16, max_text_len=12)
+
+
+def _data():
+    import torch
+    torch.manual_seed(0)
+    seq = torch.rand(2, 12) * 2 - 1
+    ids = torch.tensor([[1, 2, 3, 4, 5], [2, 3, 4, 5, 6]])
+    return seq, ids
+
+
+def test_sequence_matches_torch(reference_transformer):
+    import torch
+    torch.manual_seed(0)
+    ref = reference_transformer.MoleculeTransformerSequence(**SEQ_KW)
+    ref.eval()
+    seq, ids = _data()
+    with torch.no_grad():
+        r_logits = ref(sequences=seq, output=ids, cond_drop_prob=0.0).numpy()
+        r_loss = float(ref(sequences=seq, output=ids, cond_drop_prob=0.0,
+                           return_loss=True))
+    ours = MoleculeTransformerSequence(**SEQ_KW)
+    sj, ij = to_jax(seq), to_jax(ids).astype(jnp.int32)
+    variables = import_params(ours, ref, sj, ij,
+                              key=jax.random.PRNGKey(1))
+    o_logits = ours.apply(variables, sj, ij, cond_drop_prob=0.0)
+    assert np.allclose(o_logits, r_logits, atol=TOL)
+    o_loss = float(ours.apply(variables, sj, ij, cond_drop_prob=0.0,
+                              return_loss=True))
+    assert abs(o_loss - r_loss) < 1e-4
+
+
+def test_sequence_cfg_matches_torch(reference_transformer):
+    import torch
+    torch.manual_seed(0)
+    ref = reference_transformer.MoleculeTransformerSequence(**SEQ_KW)
+    ref.eval()
+    seq, ids = _data()
+    with torch.no_grad():
+        r = ref.forward_with_cond_scale(sequences=seq, output=ids,
+                                        cond_scale=3.0).numpy()
+    ours = MoleculeTransformerSequence(**SEQ_KW)
+    sj, ij = to_jax(seq), to_jax(ids).astype(jnp.int32)
+    variables = import_params(ours, ref, sj, ij, key=jax.random.PRNGKey(1))
+    o = forward_with_cond_scale(ours, variables, sj, ij, cond_scale=3.0)
+    assert np.allclose(o, r, atol=TOL)
+
+
+def test_internaldim_matches_torch(reference_transformer):
+    import torch
+    torch.manual_seed(0)
+    kw = dict(SEQ_KW, max_tokens=24, embed_dim=16, one_kv_head=True)
+    ref = reference_transformer.MoleculeTransformerSequenceInternaldim(**kw)
+    ref.eval()
+    seq, ids = _data()
+    with torch.no_grad():
+        r = ref(sequences=seq, output=ids, cond_drop_prob=0.0).numpy()
+    ours = MoleculeTransformerSequenceInternaldim(**kw)
+    sj, ij = to_jax(seq), to_jax(ids).astype(jnp.int32)
+    variables = import_params(ours, ref, sj, ij, key=jax.random.PRNGKey(1))
+    o = ours.apply(variables, sj, ij, cond_drop_prob=0.0)
+    assert np.allclose(o, r, atol=TOL)
+
+
+def test_continuous_transformer_matches_torch(reference_transformer):
+    import torch
+    torch.manual_seed(0)
+    kw = dict(dim=32, depth=2, logits_dim=6, dim_head=8, heads=4,
+              text_embed_dim=16, max_text_len=12, pos_fourier_graph_dim=8)
+    ref = reference_transformer.MoleculeTransformer(**kw)
+    ref.eval()
+    seq, _ = _data()
+    vecs = torch.randn(2, 6, 5)       # torch layout (b, logits_dim, L)
+    with torch.no_grad():
+        r = ref(sequences=seq, output=vecs, cond_drop_prob=0.0).numpy()
+    ours = MoleculeTransformer(**kw)
+    sj = to_jax(seq)
+    vj = to_jax(vecs).transpose(0, 2, 1)   # ours is channels-last
+    variables = import_params(ours, ref, sj, vj, key=jax.random.PRNGKey(1))
+    o = ours.apply(variables, sj, vj, cond_drop_prob=0.0)
+    assert np.allclose(o, r, atol=TOL)
+
+
+def test_encoder_matches_torch(reference_transformer):
+    import torch
+    torch.manual_seed(0)
+    kw = dict(dim=32, depth=2, logits_dim=12, logits_dim_length=1,
+              max_length=8, max_tokens=24, heads=4, embed_dim=16)
+    ref = reference_transformer.MoleculeTransformerSequenceEncoder(**kw)
+    ref.eval()
+    ids = torch.tensor([[1, 2, 3, 4, 0, 0, 0, 0], [2, 3, 4, 5, 6, 0, 0, 0]])
+    with torch.no_grad():
+        r = ref(ids).numpy()
+    ours = MoleculeTransformerSequenceEncoder(**kw)
+    ij = to_jax(ids).astype(jnp.int32)
+    variables = import_params(ours, ref, ij)
+    o = ours.apply(variables, ij)
+    assert o.shape == r.shape
+    assert np.allclose(o, r, atol=TOL)
+
+
+def test_gpt_matches_torch(reference_transformer):
+    import torch
+    torch.manual_seed(0)
+    kw = dict(dim=32, depth=2, max_tokens=24, logits_dim=24, dim_head=8,
+              heads=4, embed_dim=16)
+    ref = reference_transformer.MoleculeTransformerGPT(**kw)
+    ref.eval()
+    ids = torch.tensor([[1, 2, 3, 4, 0], [2, 3, 4, 5, 6]])
+    with torch.no_grad():
+        r = ref(output=ids).numpy()
+        r_loss = float(ref(output=ids, return_loss=True,
+                           ignore_padding_zeros=True))
+    ours = MoleculeTransformerGPT(**kw)
+    ij = to_jax(ids).astype(jnp.int32)
+    variables = import_params(ours, ref, ij)
+    o = ours.apply(variables, ij)
+    assert np.allclose(o, r, atol=TOL)
+    o_loss = float(ours.apply(variables, ij, return_loss=True,
+                              ignore_padding_zeros=True))
+    assert abs(o_loss - r_loss) < 1e-4
+
+
+def test_cached_decode_matches_full_forward():
+    """The KV-cached decode path must produce the same logits as the full
+    forward at every position (cond and null halves)."""
+    key = jax.random.PRNGKey(0)
+    model = MoleculeTransformerSequence(**SEQ_KW)
+    seq = jnp.linspace(-1, 1, 2 * 12).reshape(2, 12)
+    ids = jnp.array([[1, 2, 3, 4, 5], [2, 3, 4, 5, 6]], jnp.int32)
+    variables = model.init({"params": key}, seq, ids, key=key)
+
+    full = model.apply(variables, seq, ids, cond_drop_prob=0.0)
+
+    cond = model.apply(variables, seq,
+                       method=MoleculeTransformerSequence.embed_conditioning)
+    cond = cond[:, :model.max_text_len]
+    text_mask = jnp.ones(cond.shape[:2], bool)
+    cross_kvs = model.apply(variables, cond,
+                            method=MoleculeTransformerSequence.cross_kv)
+    caches = model.apply(variables, 2, ids.shape[1],
+                         method=MoleculeTransformerSequence.init_cache)
+    from moleculediffusiontransformer_tpu.nn.embeddings import (
+        positional_encoding_1d)
+    pe = positional_encoding_1d(ids.shape[1], model.dim)
+    for pos in range(ids.shape[1]):
+        emb = model.apply(variables, ids[:, pos:pos + 1],
+                          method=lambda m, t: m.token_embed(t))
+        x_t = emb + pe[pos][None, None]
+        logits_t, caches = model.apply(
+            variables, x_t, jnp.asarray(pos), cross_kvs, caches, text_mask,
+            method=MoleculeTransformerSequence.decode_step)
+        assert np.allclose(logits_t, full[:, pos], atol=2e-5), pos
+
+
+def test_generate_deterministic_and_shapes():
+    key = jax.random.PRNGKey(0)
+    model = MoleculeTransformerSequence(**SEQ_KW)
+    seq = jnp.linspace(-1, 1, 2 * 12).reshape(2, 12)
+    ids = jnp.array([[1, 2], [2, 3]], jnp.int32)
+    variables = model.init({"params": key}, seq, ids, key=key)
+    start = jnp.array([[1], [2]], jnp.int32)
+    a = generate_sequence(model, variables, seq, start, key,
+                          tokens_to_generate=6, cond_scale=3.0)
+    b = generate_sequence(model, variables, seq, start, key,
+                          tokens_to_generate=6, cond_scale=3.0)
+    assert a.shape == (2, 7)
+    assert np.array_equal(a, b)
+    assert np.array_equal(a[:, 0], start[:, 0])
+    assert np.all(np.asarray(a) >= 0) and np.all(np.asarray(a) < 24)
+
+
+def test_gpt_generate_shapes():
+    key = jax.random.PRNGKey(0)
+    model = MoleculeTransformerGPT(dim=32, depth=2, max_tokens=24,
+                                   logits_dim=24, dim_head=8, heads=4,
+                                   embed_dim=16)
+    ids = jnp.array([[1, 2, 3], [2, 3, 4]], jnp.int32)
+    variables = model.init(key, ids)
+    out = generate_gpt(model, variables, ids[:, :1], key,
+                       tokens_to_generate=5)
+    assert out.shape == (2, 6)
+
+
+def test_param_counts_match_notebook_presets():
+    """2,407,712 (inverse transformer, Inverse_Transformer.ipynb cell 46)
+    and 3,162,496 (forward encoder, Forward_Transformer.ipynb cell 57)."""
+    t = cfg.inverse_transformer_qm9()
+    model = MoleculeTransformerSequence(
+        dim=t.dim, depth=t.depth, logits_dim=t.logits_dim,
+        dim_head=t.dim_head, heads=t.heads, text_embed_dim=t.text_embed_dim,
+        max_text_len=t.max_text_len)
+    seq = jnp.zeros((1, 12))
+    ids = jnp.zeros((1, 4), jnp.int32)
+    shapes = jax.eval_shape(model.init,
+                            {"params": jax.random.PRNGKey(0)}, seq, ids,
+                            key=jax.random.PRNGKey(0))
+    n = sum(int(np.prod(x.shape)) for x in
+            jax.tree_util.tree_leaves(shapes["params"]))
+    assert n == 2_407_712, n
+
+    e = cfg.forward_transformer_qm9()
+    enc = MoleculeTransformerSequenceEncoder(
+        dim=e.dim, depth=e.depth, logits_dim=e.logits_dim,
+        logits_dim_length=e.logits_dim_length, max_length=e.max_length,
+        max_tokens=e.max_tokens, heads=e.heads, embed_dim=e.embed_dim,
+        ff_mult=e.ff_mult)
+    shapes = jax.eval_shape(enc.init, jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64), jnp.int32))
+    n = sum(int(np.prod(x.shape)) for x in
+            jax.tree_util.tree_leaves(shapes["params"]))
+    assert n == 3_162_496, n
