@@ -22,7 +22,7 @@ import jax.numpy as jnp
 # docstring); updated whenever re-measured.
 TORCH_CPU_MOL_PER_S = 0.3801  # molecules/s, batch 16, 64-step CFG sampling
 
-BATCH = 64
+BATCH = 256
 NUM_STEPS = 64
 
 
@@ -46,14 +46,19 @@ def main():
         return sample(model, variables, props, k, num_steps=NUM_STEPS,
                       cond_scale=2.0)
 
-    # warmup / compile
-    run(jax.random.PRNGKey(1)).block_until_ready()
+    # NOTE: on the tunneled TPU backend block_until_ready() returns before
+    # execution completes; a device-side reduction + scalar transfer is the
+    # only honest sync.  Per-call RPC overhead (~33 ms) is amortized inside
+    # the single jitted scan.
+    sumf = jax.jit(jnp.sum)
+    out = run(jax.random.PRNGKey(1))
+    sanity = float(sumf(out))
+    assert jnp.isfinite(sanity), sanity
 
     reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
-        out = run(jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
+        float(sumf(run(jax.random.PRNGKey(2 + i))))
     dt = (time.perf_counter() - t0) / reps
 
     mol_per_s = BATCH / dt

@@ -17,3 +17,11 @@ from .unet import (BottleneckBlock1d, DownsampleBlock1d, UNet1d, UNetAll1d,
                    UNetCFG1d, UNetNCCA1d, UpsampleBlock1d, XUNet1d,
                    cfg_forward)
 from .torch_import import state_dict_to_params, torch_key_to_path
+from .transformer_blocks import (AttentionQKV, CausalDSConv, FeedForwardCNN,
+                                 GCNLayer, GLU, GraphConvLayers, LNGamma,
+                                 MQAttention, RelPosBias2d, gumbel_sample,
+                                 prob_mask_like, top_k_filter)
+from .dsp import downsample, resample, upsample
+from .stft import STFT
+from .autoencoder import (AutoEncoder1d, Decoder1d, Encoder1d,
+                          TanhBottleneck)

@@ -1,0 +1,2 @@
+"""Pallas TPU kernels (with jnp fallbacks for non-TPU backends)."""
+from .attention import attention

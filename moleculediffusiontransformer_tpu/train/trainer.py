@@ -71,6 +71,50 @@ def make_diffusion_train_step(model, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_transformer_train_step(model, tx: optax.GradientTransformation,
+                                donate: bool = True) -> Callable:
+    """Jitted step for the AR transformer decoders (CE loss with CFG
+    conditioning dropout — reference `train_loop_transformer`,
+    `generative.py:1302-1400`): ``state, (props, ids), key -> state, loss``."""
+
+    def loss_fn(params, props, ids, key):
+        return model.apply({"params": params}, props, ids, return_loss=True,
+                           key=key)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, props, ids, key):
+        key = jax.random.fold_in(key, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, props, ids,
+                                                  key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss
+
+    return train_step
+
+
+def make_encoder_train_step(model, tx: optax.GradientTransformation,
+                            donate: bool = True) -> Callable:
+    """Jitted step for the forward encoder (MSE on (b, 1, 12) outputs —
+    reference `train_loop_forward_transformer`, `generative.py:1915-2006`)."""
+
+    def loss_fn(params, ids, targets):
+        logits = model.apply({"params": params}, ids)
+        preds = logits.reshape(logits.shape[0], -1)[:, :targets.shape[1]]
+        return jnp.mean(jnp.square(preds - targets))
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, ids, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, ids, targets)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss
+
+    return train_step
+
+
 @dataclass
 class MetricsLogger:
     """JSONL-appending metrics log (replaces the reference's print+matplotlib
