@@ -142,21 +142,29 @@ def prepare_qm9(smiles: Sequence[str], properties: np.ndarray, *,
         texts = add_start_end_char(texts, start_char, end_char)
 
     tokenizer = CharTokenizer().fit_on_texts(texts)
-    seqs = tokenizer.texts_to_sequences(texts)
+
+    from . import native
+
+    def padded_ids(length: int) -> np.ndarray:
+        out = native.tokenize_pad(texts, tokenizer.word_index, length)
+        if out is None:    # no toolchain / exotic vocab: numpy fallback
+            out = pad_sequences(tokenizer.texts_to_sequences(texts), length)
+        return out
 
     if mode == "forward_diffusion":
         max_length = 64 if max_length is None else max_length
-        ids = pad_sequences(seqs, max_length)
         x_norm = float(tokenizer.vocab_size)
-        X = (ids.astype(np.float32) / x_norm)
+        X = padded_ids(max_length).astype(np.float32) / x_norm
     elif mode == "inverse_diffusion":
         max_length = 32 if max_length is None else max_length
-        ids = pad_sequences(seqs, max_length)
-        X = one_hot_signed(ids, tokenizer.num_tokens)   # (n, L, vocab)
+        X = native.tokenize_one_hot(texts, tokenizer.word_index, max_length,
+                                    tokenizer.num_tokens)
+        if X is None:
+            X = one_hot_signed(padded_ids(max_length), tokenizer.num_tokens)
         x_norm = 1.0
     elif mode == "transformer":
         max_length = 64 if max_length is None else max_length
-        X = pad_sequences(seqs, max_length).astype(np.int32)
+        X = padded_ids(max_length).astype(np.int32)
         x_norm = 1.0
     else:
         raise ValueError(f"Unknown mode: {mode}")

@@ -6,8 +6,9 @@ from .transformers import (MoleculeTransformer, MoleculeTransformerGPT,
                            MoleculeTransformerSequence,
                            MoleculeTransformerSequenceEncoder,
                            MoleculeTransformerSequenceInternaldim,
+                           MoleculeTransformerGPTPyTorch,
                            forward_with_cond_scale, generate_gpt,
-                           generate_sequence)
+                           generate_gpt_mha, generate_sequence)
 from .audio import (AudioDiffusionAE, AudioDiffusionConditional,
                     AudioDiffusionModel, AudioDiffusionUpphaser,
                     AudioDiffusionUpsampler, AudioDiffusionVocoder,

@@ -325,11 +325,12 @@ class MoleculeTransformer(_DecoderBase):
 
 class TorchMHA(nn.Module):
     """torch ``nn.MultiheadAttention`` (batch_first) equivalent: fused QKV
-    in-projection + out projection, with key_padding_mask (True = masked).
-    Params named in_proj_weight/in_proj_bias (+ child out_proj) for
-    state-dict import."""
+    in-projection + out projection, with key_padding_mask (True = masked)
+    and optional causal masking.  Params named in_proj_weight/in_proj_bias
+    (+ child out_proj) for state-dict import."""
     dim: int
     heads: int
+    causal: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -354,6 +355,9 @@ class TorchMHA(nn.Module):
                          precision=mm_precision(self.dtype)) * (hd ** -0.5)
         if key_padding_mask is not None:
             sim = jnp.where(key_padding_mask[:, None, None, :], NEG_INF, sim)
+        if self.causal:
+            causal = jnp.triu(jnp.ones((n, n), bool), k=1)
+            sim = jnp.where(causal[None, None], NEG_INF, sim)
         attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v,
                          preferred_element_type=self.dtype,
@@ -728,3 +732,108 @@ def forward_with_cond_scale(model, variables, sequences, output, *,
                               cond_drop_prob=0.0, text_mask=null_mask,
                               **kwargs)
     return null_logits + (logits - null_logits) * cond_scale
+
+
+class MoleculeTransformerGPTPyTorch(nn.Module):
+    """GPT variant built on the fused-QKV MHA layer — rebuild of the
+    reference's ``MoleculeTransformerGPTPyTorch`` (`transformer.py:5270-5444`).
+
+    Recorded deviation: the reference passes ``is_causal=True`` to torch MHA
+    without an attn_mask (flagged "may be buggy" at `transformer.py:4864`);
+    here causal masking is applied correctly.
+    """
+    dim: int = 128
+    depth: int = 12
+    max_tokens: int = 32
+    logits_dim: int = 32
+    heads: int = 8
+    ff_mult: int = 4
+    embed_dim: int = 16
+    text_embed_dim: Optional[int] = 16    # vestigial fc1, kept for parity
+    concat_pos_encoding: bool = False
+    pos_fourier_graph_dim: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @property
+    def _pos_dim(self) -> int:
+        if not self.concat_pos_encoding:
+            return self.embed_dim
+        assert self.pos_fourier_graph_dim is not None
+        return self.pos_fourier_graph_dim
+
+    def setup(self):
+        self.token_embed = Embed(self.max_tokens, self.embed_dim,
+                                 dtype=self.dtype)
+        self.to_dim = Dense(self.dim, use_bias=False, dtype=self.dtype)
+        self.fc1 = Dense(self.text_embed_dim, dtype=self.dtype)  # unused
+        self.init_norm = LNGamma(dtype=self.dtype)
+        for i in range(self.depth):
+            setattr(self, f"layers_{i}_0",
+                    TorchMHA(self.dim, self.heads, causal=True,
+                             dtype=self.dtype))
+            hidden = int(self.dim * self.ff_mult)
+            setattr(self, f"layers_{i}_1_0", LNGamma(dtype=self.dtype))
+            setattr(self, f"layers_{i}_1_1",
+                    Dense(hidden, use_bias=False, dtype=self.dtype))
+            setattr(self, f"layers_{i}_1_3", LNGamma(dtype=self.dtype))
+            setattr(self, f"layers_{i}_1_4",
+                    Dense(self.dim, use_bias=False, dtype=self.dtype))
+        self.final_norm = LNGamma(dtype=self.dtype)
+        self.to_logits = Dense(self.logits_dim, use_bias=False,
+                               dtype=self.dtype)
+
+    def __call__(self, output_ids: jax.Array, *, return_loss: bool = False,
+                 ignore_padding_zeros: bool = False):
+        labels = output_ids[:, 1:] if return_loss else None
+        x = self.token_embed(output_ids)
+        pe = positional_encoding_1d(x.shape[1], self._pos_dim, dtype=x.dtype)
+        pe = jnp.broadcast_to(pe[None], (x.shape[0],) + pe.shape)
+        x = (jnp.concatenate([x, pe], axis=-1) if self.concat_pos_encoding
+             else x + pe)
+        x = self.to_dim(x)
+        x = self.init_norm(x)
+        self.fc1(jnp.zeros((1, 1), self.dtype))   # vestigial, import parity
+        for i in range(self.depth):
+            x = getattr(self, f"layers_{i}_0")(x) + x
+            h = getattr(self, f"layers_{i}_1_0")(x)
+            h = gelu(getattr(self, f"layers_{i}_1_1")(h))
+            h = getattr(self, f"layers_{i}_1_3")(h)
+            x = getattr(self, f"layers_{i}_1_4")(h) + x
+        x = self.final_norm(x)
+        logits = self.to_logits(x)
+        if not return_loss:
+            return logits
+        return cross_entropy_mean(
+            logits[:, :-1], labels,
+            ignore_index=0 if ignore_padding_zeros else None)
+
+
+def generate_gpt_mha(model, variables, start_ids, key, *,
+                     tokens_to_generate: int = 32, filter_thres: float = 0.9,
+                     temperature: float = 1.0,
+                     use_gumbel_sample: bool = True) -> jax.Array:
+    """Fixed-shape generation for the MHA-based GPT (full-prefix forward
+    per token over a masked static buffer — the fused-QKV MHA has no
+    per-position cache; the cached path is ``generate_gpt``)."""
+    b, t0 = start_ids.shape
+    total = t0 + tokens_to_generate
+    ids = jnp.zeros((b, total), start_ids.dtype)
+    ids = jax.lax.dynamic_update_slice(ids, start_ids, (0, 0))
+
+    @jax.jit
+    def step(ids, pos, k):
+        logits = model.apply(variables, ids)
+        logits_t = jax.vmap(lambda l, p: l[p])(logits,
+                                               jnp.full((b,), pos))
+        if use_gumbel_sample:
+            sampled = gumbel_sample(k, top_k_filter(logits_t, filter_thres),
+                                    temperature)
+        else:
+            sampled = jnp.argmax(logits_t, axis=-1)
+        return jax.lax.dynamic_update_index_in_dim(
+            ids, sampled.astype(ids.dtype), pos + 1, axis=1)
+
+    for pos in range(t0 - 1, total - 1):
+        key, k = jax.random.split(key)
+        ids = step(ids, pos, k)
+    return ids

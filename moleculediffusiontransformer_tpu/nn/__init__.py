@@ -9,8 +9,9 @@ from .embeddings import (FixedEmbedding, LearnedPositionalEmbedding,
                          positional_encoding_1d, positional_encoding_2d,
                          positional_encoding_3d, sinusoidal_embedding,
                          time_positional_embedding)
-from .blocks import (ConvBlock1d, MappingToScaleShift, Patcher,
-                     ResnetBlock1d, Unpatcher, downsample1d, upsample1d)
+from .blocks import (ConditionedSequential, ConvBlock1d,
+                     MappingToScaleShift, Patcher, ResnetBlock1d, Unpatcher,
+                     downsample1d, upsample1d)
 from .attention import (Attention, AttentionBase, RelativePositionBias,
                         Transformer1d, TransformerBlock, feed_forward)
 from .unet import (BottleneckBlock1d, DownsampleBlock1d, UNet1d, UNetAll1d,
@@ -25,3 +26,4 @@ from .dsp import downsample, resample, upsample
 from .stft import STFT
 from .autoencoder import (AutoEncoder1d, Decoder1d, Encoder1d,
                           TanhBottleneck)
+from .text import T5Embedder

@@ -166,3 +166,15 @@ class Unpatcher(nn.Module):
         return ResnetBlock1d(self.out_channels, num_groups=1,
                              use_mapping=self.use_mapping, dtype=self.dtype,
                              name="block")(x, mapping)
+
+
+class ConditionedSequential(nn.Module):
+    """Sequential with a shared ``(x, mapping)`` signature
+    (reference `modules.py:16-24`)."""
+    modules_list: Tuple[Any, ...] = ()
+
+    def __call__(self, x: jax.Array,
+                 mapping: Optional[jax.Array] = None) -> jax.Array:
+        for module in self.modules_list:
+            x = module(x, mapping)
+        return x

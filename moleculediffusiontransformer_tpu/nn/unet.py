@@ -340,6 +340,12 @@ class UNet1d(nn.Module):
         assert (len(self.factors) == num_layers
                 and len(self.attentions) >= num_layers
                 and len(self.num_blocks) == num_layers)
+        total_factor = self.patch_size
+        for f in self.factors:
+            total_factor *= f
+        assert x.shape[1] % total_factor == 0, (
+            f"sequence length {x.shape[1]} must be divisible by patch_size x "
+            f"prod(factors) = {total_factor}")
         out_channels = self.out_channels or self.in_channels
         ctx_channels = self._padded_context_channels()
         attn_kwargs = dict(

@@ -23,24 +23,30 @@ import jax.numpy as jnp
 
 def _attention_jnp(q: jax.Array, k: jax.Array, v: jax.Array,
                    scale: float) -> jax.Array:
+    from ..nn.primitives import mm_precision
+    prec = mm_precision(q.dtype)
     sim = jnp.einsum("bnd,bmd->bnm", q, k,
-                     preferred_element_type=jnp.float32) * scale
+                     preferred_element_type=jnp.float32,
+                     precision=prec) * scale
     p = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
     return jnp.einsum("bnm,bmd->bnd", p.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+                      preferred_element_type=jnp.float32,
+                      precision=prec).astype(q.dtype)
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    from jax.experimental import pallas as pl  # noqa: F401
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                      exact: bool):
+    prec = jax.lax.Precision.HIGHEST if exact else None
     q = q_ref[0].astype(jnp.float32)          # (n, d)
     k = k_ref[0].astype(jnp.float32)          # (m, d)
     v = v_ref[0]                              # (m, d)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32,
+                precision=prec) * scale
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot((p / denom).astype(v.dtype), v,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
     o_ref[0] = o.astype(o_ref.dtype)
 
 
@@ -51,7 +57,8 @@ def _attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
     bh, n, d = q.shape
     m = k.shape[1]
-    kernel = functools.partial(_attention_kernel, scale=scale)
+    kernel = functools.partial(_attention_kernel, scale=scale,
+                               exact=(q.dtype == jnp.float32))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
