@@ -69,6 +69,50 @@ def feed_forward(x: jax.Array, features: int, multiplier: int,
     return Dense(features, dtype=dtype, name=f"{name}_2")(x)
 
 
+def packed_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                dtype: Dtype) -> jax.Array:
+    """Scaled-dot-product attention with MXU block-diagonal packing.
+
+    At this framework's sequence lengths (4-64) each (batch, head) GEMM is a
+    16x64x16-class matrix that occupies a fraction of one 128x128 MXU pass.
+    Packing G = 128//max(n, m) head-batches into one (G*n, d) x (d, G*m)
+    product and masking to the block diagonal cuts MXU passes by G while
+    computing EXACTLY the same attention (masked entries are exp(-inf)=0 and
+    contribute exact zeros to the PV contraction).  Falls back to the plain
+    batched einsum when packing doesn't divide.
+
+    q, k, v: (b, h, n|m, d) -> (b, h, n, d).
+    """
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    bh = b * h
+    g = math.gcd(max(1, 128 // max(n, m)), bh)
+    prec = mm_precision(dtype)
+
+    if g <= 1:
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                         preferred_element_type=jnp.float32,
+                         precision=prec) * scale
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhnm,bhmd->bhnd", attn.astype(dtype), v,
+                          preferred_element_type=dtype, precision=prec)
+
+    q2 = q.reshape(bh // g, g * n, d)
+    k2 = k.reshape(bh // g, g * m, d)
+    v2 = v.reshape(bh // g, g * m, d)
+    sim = jnp.einsum("gnd,gmd->gnm", q2, k2,
+                     preferred_element_type=jnp.float32,
+                     precision=prec) * scale
+    block_q = np.repeat(np.arange(g), n)
+    block_k = np.repeat(np.arange(g), m)
+    mask = jnp.asarray(block_q[:, None] == block_k[None, :])
+    sim = jnp.where(mask[None], sim, -jnp.inf)
+    attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("gnm,gmd->gnd", attn.astype(dtype), v2,
+                     preferred_element_type=dtype, precision=prec)
+    return out.reshape(b, h, n, d)
+
+
 class AttentionBase(nn.Module):
     """Multi-head SDPA core + output projection
     (reference `modules.py:323-364`).  Note the reference adds the relative
@@ -91,18 +135,20 @@ class AttentionBase(nn.Module):
             return jnp.transpose(t.reshape(b, -1, h, d), (0, 2, 1, 3))
 
         q, k, v = map(split_heads, (q, k, v))
-        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                         preferred_element_type=jnp.float32,
-                         precision=mm_precision(self.dtype))
         if self.use_rel_pos:
+            sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                             preferred_element_type=jnp.float32,
+                             precision=mm_precision(self.dtype))
             sim = sim + RelativePositionBias(
                 self.rel_pos_num_buckets, self.rel_pos_max_distance,
                 h, dtype=jnp.float32, name="rel_pos")(n, m)
-        sim = sim * (d ** -0.5)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v,
-                         preferred_element_type=self.dtype,
-                         precision=mm_precision(self.dtype))
+            sim = sim * (d ** -0.5)
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(self.dtype), v,
+                             preferred_element_type=self.dtype,
+                             precision=mm_precision(self.dtype))
+        else:
+            out = packed_sdpa(q, k, v, d ** -0.5, self.dtype)
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
         return Dense(self.features, dtype=self.dtype, name="to_out")(out)
 
