@@ -189,3 +189,48 @@ def test_tensor_parallel_2d_mesh(tiny):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_transformer_and_encoder_train_steps():
+    """The AR-transformer (CE + CFG dropout) and encoder (MSE) train steps
+    decrease loss on a fixed batch."""
+    import optax
+    from moleculediffusiontransformer_tpu.models import (
+        MoleculeTransformerSequence, MoleculeTransformerSequenceEncoder)
+    from moleculediffusiontransformer_tpu.train import (
+        make_encoder_train_step, make_transformer_train_step)
+    key = jax.random.PRNGKey(0)
+    # learnable mapping: distinct id rows, targets a function of the row
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(1, 8, size=(8, 8)), jnp.int32)
+    props = jnp.asarray(np.tanh(
+        np.asarray(ids, np.float32)[:, :6].repeat(2, axis=1) / 4 - 1))
+
+    tm = MoleculeTransformerSequence(dim=32, depth=2, logits_dim=8,
+                                     dim_head=8, heads=4, text_embed_dim=16,
+                                     max_text_len=12)
+    v = tm.init({"params": key}, props, ids, key=key)
+    tx = optax.adam(1e-3)
+    state = TrainState.create(v["params"], tx)
+    step = make_transformer_train_step(tm, tx, donate=False)
+    losses = []
+    for _ in range(60):
+        state, loss = step(state, props, ids, key)
+        losses.append(float(loss))
+    # CE floor stays high under 25% conditioning dropout; require a clear
+    # downward trend rather than halving
+    assert losses[-1] < 0.65 * losses[0], (losses[0], losses[-1])
+
+    enc = MoleculeTransformerSequenceEncoder(dim=32, depth=2, heads=4,
+                                             logits_dim=1,
+                                             logits_dim_length=12,
+                                             max_length=8, max_tokens=8,
+                                             embed_dim=16)
+    ve = enc.init(key, ids)
+    state = TrainState.create(ve["params"], tx)
+    estep = make_encoder_train_step(enc, tx, donate=False)
+    losses = []
+    for _ in range(30):
+        state, loss = estep(state, ids, props)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])

@@ -294,3 +294,26 @@ def test_param_counts_match_notebook_presets():
     params = unet_inv.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)),
                            embedding=emb)
     assert count_parameters(params, verbose=False) + 128 == 90_965_554
+
+
+def test_packed_sdpa_matches_unpacked():
+    """Block-diagonal MXU packing must be numerically equivalent to the
+    plain batched attention (masked entries contribute exact zeros)."""
+    from moleculediffusiontransformer_tpu.nn.attention import packed_sdpa
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (16, 8, 16, 64))          # bh=128, G=8
+    k = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 12, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (16, 8, 12, 64))
+    packed = packed_sdpa(q, k, v, 0.125, jnp.float32)
+    sim = jnp.einsum("bhnd,bhmd->bhnm", q, k, precision="highest") * 0.125
+    p = jax.nn.softmax(sim, axis=-1)
+    unpacked = jnp.einsum("bhnm,bhmd->bhnd", p, v, precision="highest")
+    assert np.allclose(packed, unpacked, atol=2e-5)
+    # odd bh that packing can't divide falls back to the plain path
+    q1, k1, v1 = q[:3, :1], k[:3, :1], v[:3, :1]          # bh=3
+    assert np.allclose(packed_sdpa(q1, k1, v1, 0.125, jnp.float32),
+                       jnp.einsum("bhnm,bhmd->bhnd",
+                                  jax.nn.softmax(jnp.einsum(
+                                      "bhnd,bhmd->bhnm", q1, k1,
+                                      precision="highest") * 0.125, -1),
+                                  v1, precision="highest"), atol=2e-5)
