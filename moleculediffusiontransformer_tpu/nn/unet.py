@@ -517,9 +517,32 @@ class UNetNCCA1d(UNet1d):
 
 
 class UNetAll1d(UNetCFG1d):
-    """CFG + NCCA combined (reference `modules.py:1308-1313`); CFG forward
-    semantics with the NCCA embedder available."""
-    pass
+    """CFG + NCCA combined (reference `modules.py:1308-1313`): the MRO gives
+    it both the fixed CFG embedding and the NCCA NumberEmbedder params;
+    forward dispatches to the CFG path (faithful to the reference)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array, time: Optional[jax.Array] = None, *,
+                 embedding: jax.Array, embedding_scale: float = 1.0,
+                 embedding_mask_proba: float = 0.0, **kwargs) -> jax.Array:
+        if self.context_features is not None:
+            # materialize the NCCA embedder for checkpoint parity (created
+            # by UNetNCCA1d.__init__ in the reference's MRO)
+            NumberEmbedder(self.context_features, dtype=self.dtype,
+                           name="embedder")(jnp.zeros((1, 1)))
+        fixed = FixedEmbedding(self.context_embedding_max_length,
+                               self.context_embedding_features,
+                               dtype=self.dtype,
+                               name="fixed_embedding")(embedding)
+        if embedding_mask_proba > 0.0:
+            key = self.make_rng("cfg")
+            batch_mask = jax.random.bernoulli(
+                key, embedding_mask_proba, (embedding.shape[0], 1, 1))
+            embedding = jnp.where(batch_mask, fixed, embedding)
+        return cfg_forward(
+            lambda xa, ta, **kw: self.unet_forward(xa, ta, **kw),
+            x, time, embedding, fixed,
+            embedding_scale=embedding_scale, **kwargs)
 
 
 def XUNet1d(type: str = "base", **kwargs) -> UNet1d:

@@ -128,6 +128,9 @@ class MetricsLogger:
         self.history.append(rec)
         if self.path:
             import json
+            import os
+            os.makedirs(os.path.dirname(os.path.abspath(self.path)),
+                        exist_ok=True)
             with open(self.path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
         return rec
