@@ -1,2 +1,2 @@
 """Pallas TPU kernels (with jnp fallbacks for non-TPU backends)."""
-from .attention import attention
+from .attention import attention, packed_attention

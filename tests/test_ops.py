@@ -47,3 +47,15 @@ def test_attention_pallas_bf16():
     assert out.dtype == jnp.bfloat16
     assert np.allclose(np.asarray(out, np.float32),
                        np.asarray(ref, np.float32), atol=3e-2)
+
+
+def test_packed_attention_matches_jnp():
+    from moleculediffusiontransformer_tpu.ops import packed_attention
+    from moleculediffusiontransformer_tpu.ops.attention import _attention_jnp
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(128, 16, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(128, 12, 64).astype(np.float32))
+    v = jnp.asarray(rng.randn(128, 12, 64).astype(np.float32))
+    ref = _attention_jnp(q, k, v, 64 ** -0.5)
+    out = packed_attention(q, k, v)   # pallas on TPU, jnp fallback elsewhere
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
