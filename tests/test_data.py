@@ -130,3 +130,20 @@ def test_batch_iterator_static_shapes():
     assert len(batches) == len(d.X_train) // 32
     for bx, by in batches:
         assert bx.shape[0] == 32 and by.shape[0] == 32
+
+
+def test_load_qm9_csv_roundtrip(tmp_path):
+    import csv
+    from moleculediffusiontransformer_tpu.data.qm9 import (PROPERTY_NAMES,
+                                                           load_qm9,
+                                                           synthetic_qm9)
+    smiles, props = synthetic_qm9(20, seed=7)
+    path = tmp_path / "qm9_.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["mol_id", "smiles"] + list(PROPERTY_NAMES))
+        for i, (s, p) in enumerate(zip(smiles, props)):
+            w.writerow([f"gdb_{i}", s] + list(map(float, p)))
+    s2, p2 = load_qm9(str(path))
+    assert s2 == smiles
+    assert p2.shape == (20, 12)
