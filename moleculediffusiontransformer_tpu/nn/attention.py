@@ -52,10 +52,10 @@ class RelativePositionBias(nn.Module):
         rel_pos = k_pos[None, :] - q_pos[:, None]
         buckets = relative_position_bucket(rel_pos, self.num_buckets,
                                            self.max_distance)
-        table = self.param("relative_attention_bias",
-                           nn.initializers.normal(stddev=1.0),
-                           (self.num_buckets, self.num_heads))
-        bias = jnp.take(table, jnp.asarray(buckets), axis=0)  # (i, j, h)
+        from .primitives import Embed
+        bias = Embed(self.num_buckets, self.num_heads, dtype=jnp.float32,
+                     name="relative_attention_bias")(
+            jnp.asarray(buckets))                             # (i, j, h)
         return jnp.transpose(bias, (2, 0, 1))[None].astype(self.dtype)
 
 

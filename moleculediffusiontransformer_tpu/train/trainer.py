@@ -50,13 +50,22 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 
 def make_diffusion_train_step(model, tx: optax.GradientTransformation,
-                              donate: bool = True) -> Callable:
+                              donate: bool = True,
+                              remat: bool = False) -> Callable:
     """Jitted step for the QM diffusion models:
     ``state, (X, y), key -> state, loss`` where the model's __call__ is
-    ``(conditioning, target, key) -> loss``."""
+    ``(conditioning, target, key) -> loss``.
+
+    ``remat=True`` rematerializes the forward under ``jax.checkpoint`` —
+    trades ~1 extra forward of FLOPs for activation memory, raising the
+    per-chip batch ceiling (the 91M model OOMs a single v5e at batch 1024
+    without it)."""
 
     def loss_fn(params, conditioning, target, key):
         return model.apply({"params": params}, conditioning, target, key)
+
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, conditioning, target, key):

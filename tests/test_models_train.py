@@ -234,3 +234,25 @@ def test_transformer_and_encoder_train_steps():
         state, loss = estep(state, ids, props)
         losses.append(float(loss))
     assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+def test_remat_train_step_matches(tiny):
+    """jax.checkpoint rematerialization must not change the step's result."""
+    import optax
+    model, variables, _, _ = tiny
+    tx = optax.sgd(1e-3)
+    cond = np.random.RandomState(0).randn(4, 12).astype(np.float32)
+    target = np.random.RandomState(1).randn(4, 8, 6).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+    outs = []
+    for remat in (False, True):
+        state = TrainState.create(variables["params"], tx)
+        step = make_diffusion_train_step(model, tx, donate=False,
+                                         remat=remat)
+        state, loss = step(state, jnp.asarray(cond), jnp.asarray(target),
+                           key)
+        outs.append((float(loss), state.params))
+    assert np.allclose(outs[0][0], outs[1][0], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                    jax.tree_util.tree_leaves(outs[1][1])):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -317,3 +317,33 @@ def test_packed_sdpa_matches_unpacked():
                                       "bhnd,bhmd->bhnm", q1, k1,
                                       precision="highest") * 0.125, -1),
                                   v1, precision="highest"), atol=2e-5)
+
+
+def test_relative_position_bias_matches_torch(reference):
+    import torch
+    torch.manual_seed(0)
+    ref_mod = reference.modules.RelativePositionBias(
+        num_buckets=32, max_distance=128, num_heads=4)
+    with torch.no_grad():
+        ref = ref_mod(10, 10).numpy()
+    from moleculediffusiontransformer_tpu.nn import RelativePositionBias
+    ours = RelativePositionBias(32, 128, 4)
+    variables = import_params(ours, ref_mod, 10, 10)
+    out = ours.apply(variables, 10, 10)
+    assert np.allclose(out, ref, atol=1e-6)
+
+
+def test_attention_rel_pos_matches_torch(reference):
+    import torch
+    torch.manual_seed(0)
+    ref_mod = reference.modules.Attention(
+        features=32, head_features=8, num_heads=4, use_rel_pos=True,
+        rel_pos_num_buckets=16, rel_pos_max_distance=32)
+    x = torch.randn(2, 12, 32)
+    with torch.no_grad():
+        ref = ref_mod(x).numpy()
+    ours = Attention(32, head_features=8, num_heads=4, use_rel_pos=True,
+                     rel_pos_num_buckets=16, rel_pos_max_distance=32)
+    variables = import_params(ours, ref_mod, to_jax(x))
+    out = ours.apply(variables, to_jax(x))
+    assert np.allclose(out, ref, atol=TOL)
