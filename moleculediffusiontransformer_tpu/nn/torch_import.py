@@ -97,6 +97,18 @@ def state_dict_to_params(state_dict: Mapping[str, Any], params: Dict,
     # start_token, pos_bias, in_proj_weight/bias, ...): any exact-name match
     _BUFFER_NAMES = ("inv_freq", "beta", "window", "pos_indices")
 
+    # the reference registers the UNet twice (self.unet AND
+    # XDiffusion(net=...), itself nesting an inner Diffusion), so
+    # state_dicts carry duplicate 'diffusion.net.*' /
+    # 'diffusion.diffusion.net.*' aliases of 'unet.*' (model.py:30-32,
+    # generative.py:779) — drop the aliases
+    import re
+    keys = set(state_dict.keys())
+    alias = re.compile(r"^(?:diffusion\.)+net\.")
+    state_dict = {k: v for k, v in state_dict.items()
+                  if not (alias.match(k)
+                          and ("unet." + alias.sub("", k)) in keys)}
+
     out = dict(flat_target)
     used = set()
     missing = []

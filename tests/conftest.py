@@ -29,7 +29,7 @@ import pytest
 
 
 _REF_ROOT = "/root/reference/MoleculeDiffusion"
-_REF_SAFE_MODULES = ("utils", "diffusion", "modules", "graphmodel")  # importable without TF
+_REF_SAFE_MODULES = ("utils", "diffusion", "modules", "graphmodel", "model")  # importable without TF
 
 
 def _load_reference():

@@ -127,3 +127,35 @@ def test_analog_diffusion_sparse_and_full():
         variables = model.init(key, seq, packed, key)
         loss = model.apply(variables, seq, packed, key)
         assert np.isfinite(float(loss)), cls.__name__
+
+
+def test_model1d_denoise_matches_torch(reference):
+    """Model1d with the v-objective: our denoise matches the reference's
+    diffusion.denoise_fn with imported weights (audio-lineage assembly)."""
+    import torch
+    torch.manual_seed(0)
+    from moleculediffusiontransformer_tpu.nn import state_dict_to_params
+    ref = reference.model.Model1d(
+        in_channels=4, channels=16, multipliers=[1, 2], factors=[2],
+        num_blocks=[1], attentions=[0], patch_size=2, resnet_groups=8,
+        diffusion_type="v",
+        diffusion_sigma_distribution=reference.diffusion.UniformDistribution())
+    ref.eval()
+    from moleculediffusiontransformer_tpu.diffusion.distributions import (
+        UniformDistribution)
+    ours = Model1d(in_channels=4, channels=16, multipliers=(1, 2),
+                   factors=(2,), num_blocks=(1,), attentions=(0,),
+                   patch_size=2, resnet_groups=8, diffusion_type="v",
+                   diffusion_sigma_distribution=UniformDistribution())
+    x = torch.randn(2, 4, 16)
+    sigmas = torch.tensor([0.3, 0.7])
+    with torch.no_grad():
+        r = ref.diffusion.diffusion.denoise_fn(x, sigmas=sigmas).numpy()
+    xl = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    key = jax.random.PRNGKey(0)
+    shapes = jax.eval_shape(ours.init, key, xl, key)
+    variables = {"params": state_dict_to_params(ref.state_dict(),
+                                                shapes["params"])}
+    o = ours.apply(variables, xl, jnp.asarray(sigmas.numpy()),
+                   method=Model1d.denoise)
+    assert np.allclose(np.transpose(np.asarray(o), (0, 2, 1)), r, atol=3e-5)
