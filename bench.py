@@ -1,16 +1,20 @@
-"""North-star benchmark: 64-step CFG ADPM2 sampling throughput on the
-inverse QM diffusion model (BASELINE.json configs[0]: cfg UNet channels=64,
-pred_dim=16, max_length=64 — the README "basic setup").
+"""North-star benchmarks on the inverse QM diffusion model
+(BASELINE.json configs[0]: cfg UNet channels=64, pred_dim=16, max_length=64
+— the README "basic setup").  Two JSON lines:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  1. 64-step CFG ADPM2 sampling throughput (molecules/s) — the headline;
+  2. train-step throughput (samples/s) — the second BASELINE metric.
 
-Baseline: the PyTorch reference on this machine's CPU measured with the
-identical architecture/sampler/steps (see tools/measure_torch_baseline.py):
-batch 16, 64 ADPM2 steps (2 denoise evals/step x 2 CFG passes = 256 UNet
-forwards per molecule) — recorded below as TORCH_CPU_MOL_PER_S.
+Baselines: the PyTorch reference on this machine's CPU at the identical
+architecture/sampler/steps, measured by `tools/measure_torch_baseline.py`
+(batch 16; 64 ADPM2 steps = 2 denoise evals/step x 2 CFG passes = 256 UNet
+forwards per batch; train = one Adam step with grad-clip 0.5).  Rerun that
+script to regenerate the constants below (last run 2026-08-16,
+torch 2.13.0+cpu).
 
 Ours runs the whole 64-step CFG sampler as one jitted lax.scan with batched
-CFG (128 doubled-batch UNet evals total), bf16 compute on TPU.
+CFG (128 doubled-batch UNet evals total) and the train steps as one jitted
+scan, bf16 compute on TPU.
 """
 import json
 import time
@@ -18,18 +22,30 @@ import time
 import jax
 import jax.numpy as jnp
 
-# torch CPU reference throughput, measured on this machine (see module
-# docstring); updated whenever re-measured.
-TORCH_CPU_MOL_PER_S = 0.3801  # molecules/s, batch 16, 64-step CFG sampling
+# torch CPU reference throughput — regenerate with
+# `python tools/measure_torch_baseline.py` (see module docstring).
+TORCH_CPU_MOL_PER_S = 0.4179            # sampling, molecules/s, batch 16
+TORCH_CPU_TRAIN_SAMPLES_PER_S = 21.203  # train step, samples/s, batch 16
 
 BATCH = 256
 NUM_STEPS = 64
+TRAIN_BATCH = 256
+TRAIN_STEPS = 10
 
 
-def main():
-    from moleculediffusiontransformer_tpu.models import QMDiffusion, sample
+def _sync(x) -> float:
+    # NOTE: on the tunneled TPU backend block_until_ready() returns before
+    # execution completes; a device-side reduction + scalar transfer is the
+    # only honest sync.  Per-call RPC overhead (~33 ms) is amortized inside
+    # single jitted scans.
+    v = float(jax.jit(jnp.sum)(x))
+    assert jnp.isfinite(v), v
+    return v
 
-    model = QMDiffusion(
+
+def _model():
+    from moleculediffusiontransformer_tpu.models import QMDiffusion
+    return QMDiffusion(
         max_length=64, channels=64, pred_dim=16, text_embed_dim=64,
         embed_dim_position=64, context_embedding_max_length=12,
         multipliers=(1, 2, 4), factors=(4, 4), num_blocks=(3, 3),
@@ -37,30 +53,22 @@ def main():
         attention_multiplier=2, pre_transformer=2, patch_size=1,
         dtype=jnp.bfloat16)
 
+
+def bench_sampling(model, variables):
+    from moleculediffusiontransformer_tpu.models import sample
     key = jax.random.PRNGKey(0)
     props = jax.random.uniform(key, (BATCH, 12), minval=-1.0, maxval=1.0)
-    target = jnp.zeros((2, model.max_length, model.pred_dim))
-    variables = jax.jit(model.init)(key, props[:2], target, key)
 
     def run(k):
         return sample(model, variables, props, k, num_steps=NUM_STEPS,
                       cond_scale=2.0)
 
-    # NOTE: on the tunneled TPU backend block_until_ready() returns before
-    # execution completes; a device-side reduction + scalar transfer is the
-    # only honest sync.  Per-call RPC overhead (~33 ms) is amortized inside
-    # the single jitted scan.
-    sumf = jax.jit(jnp.sum)
-    out = run(jax.random.PRNGKey(1))
-    sanity = float(sumf(out))
-    assert jnp.isfinite(sanity), sanity
-
+    _sync(run(jax.random.PRNGKey(1)))  # warmup/compile
     reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
-        float(sumf(run(jax.random.PRNGKey(2 + i))))
+        _sync(run(jax.random.PRNGKey(2 + i)))
     dt = (time.perf_counter() - t0) / reps
-
     mol_per_s = BATCH / dt
     print(json.dumps({
         "metric": "inverse_qm_diffusion_cfg64_sampling",
@@ -68,6 +76,61 @@ def main():
         "unit": "molecules/s",
         "vs_baseline": round(mol_per_s / TORCH_CPU_MOL_PER_S, 1),
     }))
+
+
+def bench_train(model, variables):
+    import optax
+    from moleculediffusiontransformer_tpu.core.config import TrainConfig
+    from moleculediffusiontransformer_tpu.train import (TrainState,
+                                                        make_optimizer)
+    key = jax.random.PRNGKey(0)
+    cond = jax.random.uniform(key, (TRAIN_BATCH, 12), minval=-1., maxval=1.)
+    target = jax.random.normal(key, (TRAIN_BATCH, model.max_length,
+                                     model.pred_dim))
+    tx = make_optimizer(TrainConfig())
+    state = TrainState.create(variables["params"], tx)
+
+    def loss_fn(params, k):
+        return model.apply({"params": params}, cond, target, k)
+
+    @jax.jit
+    def run(state, key):
+        # TRAIN_STEPS full steps inside ONE program: amortizes the ~33 ms
+        # per-call tunnel RPC so the number reflects device time.
+        def body(s, k):
+            loss, grads = jax.value_and_grad(loss_fn)(s.params, k)
+            updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            return s.replace(step=s.step + 1, params=params,
+                             opt_state=opt_state), loss
+        return jax.lax.scan(body, state, jax.random.split(key, TRAIN_STEPS))
+
+    state2, losses = run(state, jax.random.PRNGKey(1))  # warmup/compile
+    _sync(losses)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _, losses = run(state, jax.random.PRNGKey(2 + i))
+        _sync(losses)
+    dt = (time.perf_counter() - t0) / (reps * TRAIN_STEPS)
+    samples_per_s = TRAIN_BATCH / dt
+    print(json.dumps({
+        "metric": "inverse_qm_diffusion_train_step",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / TORCH_CPU_TRAIN_SAMPLES_PER_S,
+                             1),
+    }))
+
+
+def main():
+    model = _model()
+    key = jax.random.PRNGKey(0)
+    props = jnp.zeros((2, 12))
+    target = jnp.zeros((2, model.max_length, model.pred_dim))
+    variables = jax.jit(model.init)(key, props, target, key)
+    bench_sampling(model, variables)
+    bench_train(model, variables)
 
 
 if __name__ == "__main__":

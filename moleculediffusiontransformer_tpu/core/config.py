@@ -117,6 +117,10 @@ class TrainConfig:
     batch_size: int = 1024
     epochs: int = 300
     print_loss_every: int = 10
+    # In-epoch eval + checkpoint cadence (reference semantics: eval/save
+    # every `print_loss` steps INSIDE the epoch, `generative.py:1139-1172`).
+    # None = end-of-epoch only.
+    eval_every_steps: Optional[int] = None
     seed: int = 0
 
 

@@ -8,7 +8,8 @@ from .transformers import (MoleculeTransformer, MoleculeTransformerGPT,
                            MoleculeTransformerSequenceInternaldim,
                            MoleculeTransformerGPTPyTorch,
                            forward_with_cond_scale, generate_gpt,
-                           generate_gpt_mha, generate_sequence)
+                           generate_gpt_mha, generate_sequence,
+                           generate_vectors)
 from .audio import (AudioDiffusionAE, AudioDiffusionConditional,
                     AudioDiffusionModel, AudioDiffusionUpphaser,
                     AudioDiffusionUpsampler, AudioDiffusionVocoder,

@@ -717,6 +717,74 @@ def generate_gpt(model, variables, start_ids: jax.Array, key: jax.Array, *,
     return ids
 
 
+@partial(jax.jit, static_argnames=("model", "tokens_to_generate",
+                                   "cond_scale"))
+def generate_vectors(model, variables, sequences: jax.Array, *,
+                     tokens_to_generate: int = 32,
+                     cond_scale: float = 3.0) -> jax.Array:
+    """KV-cached autoregressive generation for the CONTINUOUS
+    ``MoleculeTransformer``: per step the raw CFG-blended logits vector is
+    fed back as the next input — no sampling (reference
+    `transformer.py:602-634`).  One jitted scan, batched CFG (cond half +
+    null half in one doubled batch).  Returns (b, tokens_to_generate,
+    logits_dim) channels-last (the reference returns (b, logits_dim, T)).
+
+    Recorded deviation: the reference's ``generate`` accepts ``cond_scale``/
+    ``filter_thres``/``temperature`` but never forwards them — every call
+    runs at ``forward_with_cond_scale``'s default cond_scale=3 with no
+    sampling (`transformer.py:624-631`).  Here ``cond_scale`` is honored;
+    its default 3.0 reproduces the reference behavior exactly.
+    """
+    b = sequences.shape[0]
+    method = type(model)
+    cond = model.apply(variables, sequences,
+                       method=method.embed_conditioning)
+    cond = cond[:, :model.max_text_len]
+    cond2 = jnp.concatenate([cond, cond], axis=0)
+    n_ctx = cond.shape[1]
+    text_mask2 = jnp.concatenate(
+        [jnp.ones((b, n_ctx), bool), jnp.zeros((b, n_ctx), bool)], axis=0)
+
+    cross_kvs = model.apply(variables, cond2, method=method.cross_kv)
+    caches = model.apply(variables, 2 * b, tokens_to_generate,
+                         method=method.init_cache)
+
+    out = jnp.zeros((b, tokens_to_generate, model.logits_dim), jnp.float32)
+    # graph position code at position t is length-independent (standard
+    # sinusoid) — precompute the full table once
+    pe = positional_encoding_1d(max(tokens_to_generate - 1, 1),
+                                model.pos_fourier_graph_dim)
+    start = jnp.broadcast_to(
+        variables["params"]["start_token"][None, None], (b, 1, model.dim))
+
+    def body(carry, pos):
+        out, caches = carry
+        # sequence position `pos` is: start token (pos 0) or the embedding
+        # of the previously generated vector (reference `transformer.py:
+        # 668-678`: to_dim(cat(vector, pe_graph)) with start prepended)
+        prev = jnp.maximum(pos - 1, 0)
+        vec_prev = jax.lax.dynamic_index_in_dim(out, prev, axis=1,
+                                                keepdims=True)
+        pe_prev = jnp.broadcast_to(
+            pe[prev][None, None], (b, 1, model.pos_fourier_graph_dim))
+        emb = model.apply(
+            variables, jnp.concatenate([vec_prev, pe_prev], axis=-1),
+            method=lambda m, e: m.to_dim(e.astype(m.dtype)))
+        x_t = jnp.where(pos == 0, start.astype(emb.dtype), emb)
+        logits2, caches = model.apply(
+            variables, jnp.concatenate([x_t, x_t], axis=0), pos, cross_kvs,
+            caches, text_mask2, method=method.decode_step)
+        logits_c, logits_n = logits2[:b], logits2[b:]
+        vec = logits_n + (logits_c - logits_n) * cond_scale
+        out = jax.lax.dynamic_update_slice_in_dim(
+            out, vec[:, None].astype(out.dtype), pos, axis=1)
+        return (out, caches), None
+
+    (out, _), _ = jax.lax.scan(body, (out, caches),
+                               jnp.arange(tokens_to_generate))
+    return out
+
+
 def forward_with_cond_scale(model, variables, sequences, output, *,
                             cond_scale: float = 3.0, **kwargs):
     """Uncached CFG logits (reference `transformer.py:831-838`) — used for

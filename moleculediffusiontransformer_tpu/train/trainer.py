@@ -195,6 +195,18 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
                 elapsed = time.time() - t0
                 logger.log(step=step, epoch=epoch, loss=float(loss),
                            samples_per_sec=samples_seen / max(elapsed, 1e-9))
+            # in-epoch eval + checkpoint cadence (reference evals/saves
+            # every print_loss steps inside the epoch,
+            # `generative.py:1139-1172` — essential when one epoch is huge)
+            if (config.eval_every_steps
+                    and step % config.eval_every_steps == 0):
+                if eval_fn is not None:
+                    metrics = eval_fn(state)
+                    logger.log(step=step, epoch=epoch, in_epoch=True,
+                               **metrics)
+                if checkpoint_dir:
+                    save_step_checkpoint(checkpoint_dir,
+                                         jax.device_get(state), step)
         if eval_fn is not None:
             metrics = eval_fn(state)
             logger.log(step=int(state.step), epoch=epoch, **metrics)

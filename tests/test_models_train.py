@@ -256,3 +256,36 @@ def test_remat_train_step_matches(tiny):
     for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
                     jax.tree_util.tree_leaves(outs[1][1])):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_in_epoch_eval_cadence(tiny, tmp_path):
+    """eval_every_steps must produce mid-epoch eval records + checkpoints
+    (reference `generative.py:1139-1172` evals every print_loss steps
+    INSIDE the epoch)."""
+    from moleculediffusiontransformer_tpu.core.checkpoint import (
+        latest_checkpoint)
+    from moleculediffusiontransformer_tpu.train import train_diffusion
+
+    model, _, seq, target = tiny
+    cfg = TrainConfig(learning_rate=1e-3, epochs=1, print_loss_every=100,
+                      eval_every_steps=2)
+    X = np.tile(np.asarray(target), (4, 1, 1))
+    y = np.tile(np.asarray(seq), (4, 1))
+
+    def data_iter():
+        for i in range(0, 8, 2):
+            yield X[i:i + 2], y[i:i + 2]
+
+    evals = []
+    mesh = make_mesh(1, backend="cpu")
+    state, logger = train_diffusion(
+        model, data_iter, cfg, init_conditioning=y[:2], init_target=X[:2],
+        mesh=mesh, eval_fn=lambda s: (evals.append(int(s.step))
+                                      or {"eval_loss": 0.0}),
+        checkpoint_dir=str(tmp_path))
+    # 4 steps/epoch, cadence 2 -> in-epoch evals at steps 2 and 4, plus the
+    # end-of-epoch eval
+    assert evals == [2, 4, 4]
+    in_epoch = [r for r in logger.history if r.get("in_epoch")]
+    assert [r["step"] for r in in_epoch] == [2, 4]
+    assert latest_checkpoint(str(tmp_path)) is not None

@@ -13,7 +13,7 @@ from moleculediffusiontransformer_tpu.models.transformers import (
     MoleculeTransformer, MoleculeTransformerGPT, MoleculeTransformerSequence,
     MoleculeTransformerSequenceEncoder,
     MoleculeTransformerSequenceInternaldim, forward_with_cond_scale,
-    generate_gpt, generate_sequence)
+    generate_gpt, generate_sequence, generate_vectors)
 from moleculediffusiontransformer_tpu.nn import state_dict_to_params
 
 TOL = 3e-5
@@ -112,6 +112,29 @@ def test_continuous_transformer_matches_torch(reference_transformer):
     variables = import_params(ours, ref, sj, vj, key=jax.random.PRNGKey(1))
     o = ours.apply(variables, sj, vj, cond_drop_prob=0.0)
     assert np.allclose(o, r, atol=TOL)
+
+
+def test_continuous_generate_matches_torch(reference_transformer):
+    """Golden parity for the continuous vector-feedback generate
+    (reference `transformer.py:602-634`): raw CFG-blended logits fed back,
+    no sampling, effective cond_scale 3 (the reference never forwards its
+    cond_scale arg)."""
+    import torch
+    torch.manual_seed(0)
+    kw = dict(dim=32, depth=2, logits_dim=6, dim_head=8, heads=4,
+              text_embed_dim=16, max_text_len=12, pos_fourier_graph_dim=8)
+    ref = reference_transformer.MoleculeTransformer(**kw)
+    ref.eval()
+    seq, _ = _data()
+    with torch.no_grad():
+        r = ref.generate(seq, tokens_to_generate=7).numpy()  # (2, 6, 7)
+    ours = MoleculeTransformer(**kw)
+    sj = to_jax(seq)
+    variables = import_params(ours, ref, sj, jnp.zeros((2, 5, 6)),
+                              key=jax.random.PRNGKey(1))
+    o = generate_vectors(ours, variables, sj, tokens_to_generate=7)
+    assert o.shape == (2, 7, 6)
+    assert np.allclose(np.asarray(o).transpose(0, 2, 1), r, atol=2e-5)
 
 
 def test_encoder_matches_torch(reference_transformer):
