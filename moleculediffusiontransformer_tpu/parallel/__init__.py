@@ -1,3 +1,6 @@
 """Device mesh + sharding (data parallelism over ICI; SURVEY §2.10)."""
 from .mesh import (batch_sharding, make_mesh, pad_to_multiple, replicate,
                    replicated, shard_batch)
+from .multihost import (distributed_init, make_global_mesh, mesh_process_count,
+                        process_local_batch_size, replicate_global,
+                        shard_batch_global)

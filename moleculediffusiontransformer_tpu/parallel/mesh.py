@@ -8,8 +8,8 @@ single-GPU loop.  Here data parallelism is first-class and TPU-native:
   * the train step is a plain ``jit`` — XLA inserts the gradient all-reduce
     (psum over ICI) automatically from the output sharding constraint, which
     is the idiomatic JAX formulation of DDP (scaling-book recipe);
-  * multi-host: ``jax.distributed.initialize`` upstream makes
-    ``jax.devices()`` global, and the same code shards over DCN+ICI.
+  * multi-host: see ``parallel.multihost`` — distributed init, host-major
+    global mesh, and per-process global-batch assembly (DCN+ICI).
 
 Works degenerate (1 device) on CPU; tests exercise an 8-device virtual CPU
 mesh via ``--xla_force_host_platform_device_count=8``.
