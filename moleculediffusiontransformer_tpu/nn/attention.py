@@ -226,7 +226,14 @@ class TransformerBlock(nn.Module):
 class Transformer1d(nn.Module):
     """Stack of TransformerBlocks wrapped in GroupNorm(32, eps 1e-6) + 1x1
     convs (reference `modules.py:469-524`).  Channels-last makes the
-    reference's b c t <-> b t c transposes no-ops here."""
+    reference's b c t <-> b t c transposes no-ops here.
+
+    When ``ops.transformer_fusion.enable_fusion()`` is on (and the config
+    is fusable), the WHOLE stack executes as one Pallas megakernel —
+    identical param tree, same math, one HBM round-trip (see that module's
+    docstring for the measured rationale).  ``disable_fusion`` pins this
+    instance to the reference composition (used for the fused path's
+    backward and for parity tests)."""
     num_layers: int
     channels: int
     num_heads: int
@@ -237,10 +244,22 @@ class Transformer1d(nn.Module):
     rel_pos_max_distance: Optional[int] = None
     context_features: Optional[int] = None
     dtype: Dtype = jnp.float32
+    disable_fusion: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array,
                  context: Optional[jax.Array] = None) -> jax.Array:
+        from ..ops import transformer_fusion as tf
+        if (tf.fusion_enabled() and not self.disable_fusion
+                and not self.is_initializing()
+                and tf.fusable(x, context, self.use_rel_pos,
+                               self.context_features)):
+            return tf.transformer1d_fused(
+                self.variables["params"], x,
+                None if not self.context_features else context,
+                num_layers=self.num_layers, heads=self.num_heads,
+                head_dim=self.head_features, multiplier=self.multiplier,
+                context_features=self.context_features)
         x = GroupNorm(32, eps=1e-6, dtype=self.dtype, name="to_in_0")(x)
         x = Conv1d(self.channels, kernel_size=1, padding=0, dtype=self.dtype,
                    name="to_in_1")(x)

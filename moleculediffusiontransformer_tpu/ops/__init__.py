@@ -1,2 +1,4 @@
 """Pallas TPU kernels (with jnp fallbacks for non-TPU backends)."""
 from .attention import attention, packed_attention
+from .transformer_fusion import (enable_fusion, fused, fusion_enabled,
+                                 transformer1d_fused)
