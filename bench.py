@@ -124,12 +124,19 @@ def bench_train(model, variables):
 
 
 def main():
+    from moleculediffusiontransformer_tpu.ops import transformer_fusion
     model = _model()
     key = jax.random.PRNGKey(0)
     props = jnp.zeros((2, 12))
     target = jnp.zeros((2, model.max_length, model.pred_dim))
     variables = jax.jit(model.init)(key, props, target, key)
-    bench_sampling(model, variables)
+    # Sampling runs the Transformer1d megakernel (1.49x end-to-end).
+    # Training keeps the XLA composition: the fused path's custom-vjp
+    # backward re-runs the slow forward (rematerialization), which costs
+    # more than it saves on the grad step (measured: 9.2k vs 11.6k
+    # samples/s) — see PERF.md.
+    with transformer_fusion.fused(True):
+        bench_sampling(model, variables)
     bench_train(model, variables)
 
 

@@ -228,6 +228,55 @@ class FeedForwardCNN(nn.Module):
 
 # ------------------------------------------------------------ attention ----
 
+def packed_shared_kv_sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+                          mask: Optional[jax.Array],
+                          dtype: Dtype) -> Optional[jax.Array]:
+    """Block-diagonal MXU packing for the multi-query attention cores.
+
+    In cached decode the per-batch GEMM is (h*n, d) x (d, j) with h*n as
+    small as 8 — a sliver of one 128x128 MXU pass.  Packing G = 128//(h*n)
+    batch elements into one ((G*h*n), d) x (d, (G*j)) product and masking
+    to the pack diagonal computes EXACTLY the same attention (masked
+    entries are exp(-inf) = 0 and contribute exact zeros to the PV
+    contraction) while MXU passes drop ~G-fold.  Same trick as
+    ``nn.attention.packed_sdpa`` (2.05x per UNet layer, PERF.md), extended
+    to the shared-KV layout where kv has no head axis.
+
+    q (b, h, n, d); k, v (b, j, d); mask (b, 1, n, j) True=keep.
+    Returns (b, h, n, d), or None when packing would not help (caller
+    falls back to the plain batched einsum).
+    """
+    b, h, n, d = q.shape
+    j = k.shape[1]
+    rows = h * n
+    g = math.gcd(max(1, 128 // rows), b)
+    if g <= 1:
+        return None
+    prec = mm_precision(dtype)
+    bg = b // g
+    q2 = q.reshape(bg, g * rows, d)
+    k2 = k.reshape(bg, g * j, d)
+    v2 = v.reshape(bg, g * j, d)
+    sim = jnp.einsum("gRd,gJd->gRJ", q2, k2,
+                     preferred_element_type=jnp.float32, precision=prec)
+    row_pack = np.repeat(np.arange(g), rows)
+    col_pack = np.repeat(np.arange(g), j)
+    big = jnp.asarray(row_pack[:, None] == col_pack[None, :])  # (gR, gJ)
+    big = jnp.broadcast_to(big[None], (bg,) + big.shape)
+    if mask is not None:
+        m = jnp.broadcast_to(mask, (b, 1, n, j))[:, 0]         # (b, n, j)
+        m = jnp.tile(m, (1, h, 1)).reshape(bg, g, rows, j)
+        full = jnp.zeros((bg, g * rows, g * j), bool)
+        for gi in range(g):
+            full = full.at[:, gi * rows:(gi + 1) * rows,
+                           gi * j:(gi + 1) * j].set(m[:, gi])
+        big = big & full
+    sim = jnp.where(big, sim, NEG_INF)
+    att = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("gRJ,gJd->gRd", att.astype(dtype), v2,
+                     preferred_element_type=dtype, precision=prec)
+    return out.reshape(b, h, n, d)
+
 class RelPosBias2d(nn.Module):
     """2-D relative bias (parti heritage, reference `transformer.py:77-100`);
     unused by the molecule models but kept for API parity."""
@@ -290,15 +339,17 @@ class MQAttention(nn.Module):
     def _attend(self, q: jax.Array, kv: jax.Array,
                 mask: Optional[jax.Array]) -> jax.Array:
         """q (b, h, n, d); kv (b, j, d); mask (b, 1, n, j) True=keep."""
-        sim = jnp.einsum("bhnd,bjd->bhnj", q, kv,
-                         preferred_element_type=jnp.float32,
-                         precision=mm_precision(self.dtype))
-        if mask is not None:
-            sim = jnp.where(mask, sim, NEG_INF)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bhnj,bjd->bhnd", attn.astype(self.dtype), kv,
-                         preferred_element_type=self.dtype,
-                         precision=mm_precision(self.dtype))
+        out = packed_shared_kv_sdpa(q, kv, kv, mask, self.dtype)
+        if out is None:
+            sim = jnp.einsum("bhnd,bjd->bhnj", q, kv,
+                             preferred_element_type=jnp.float32,
+                             precision=mm_precision(self.dtype))
+            if mask is not None:
+                sim = jnp.where(mask, sim, NEG_INF)
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bhnj,bjd->bhnd", attn.astype(self.dtype), kv,
+                             preferred_element_type=self.dtype,
+                             precision=mm_precision(self.dtype))
         b, h, n, d = out.shape
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, h * d)
         return self.to_out_2(self.to_out_1(out))
@@ -463,6 +514,13 @@ class AttentionQKV(nn.Module):
 
     def _attend(self, q, k, v, mask):
         """q (b,h,n,d); one_kv_head: k/v (b,j,d) else (b,h,j,d)."""
+        if self.one_kv_head and self.gnn_layers == 0:
+            packed = packed_shared_kv_sdpa(q, k, v, mask, self.dtype)
+            if packed is not None:
+                b, h, n, d = packed.shape
+                out = jnp.transpose(packed, (0, 2, 1, 3)).reshape(b, n,
+                                                                  h * d)
+                return self.to_out_2(self.to_out_1(out))
         eq_in = "bjd" if self.one_kv_head else "bhjd"
         sim = jnp.einsum(f"bhnd,{eq_in}->bhnj", q, k,
                          preferred_element_type=jnp.float32,

@@ -498,8 +498,9 @@ class UNetNCCA1d(UNet1d):
         b, n = x.shape[0], len(channels_list)
         aug = jnp.broadcast_to(
             jnp.asarray(channels_augmentation, dtype=x.dtype), (b, n))
-        scale = jnp.broadcast_to(
-            jnp.asarray(channels_scale, dtype=x.dtype), (b, n)) * aug
+        raw_scale = jnp.broadcast_to(
+            jnp.asarray(channels_scale, dtype=x.dtype), (b, n))
+        scale = raw_scale * aug
 
         out_channels_list = []
         for i in range(n):
@@ -509,8 +510,11 @@ class UNetNCCA1d(UNet1d):
                                       item.dtype)
             out_channels_list.append(noise * s + item * (1 - s))
 
+        # NB the reference embeds the RAW channels_scale, not scale*aug
+        # (`modules.py:1296-1298` uses channels_scale before the per-item
+        # augmentation gating) — mirrored exactly.
         scale_emb = NumberEmbedder(self.context_features, dtype=self.dtype,
-                                   name="embedder")(scale)
+                                   name="embedder")(raw_scale)
         scale_emb = jnp.sum(scale_emb, axis=1)
         return self.unet_forward(x, time, channels_list=out_channels_list,
                                  features=scale_emb, **kwargs)

@@ -330,3 +330,34 @@ def test_gpt_gnn_attention_matches_torch(reference_transformer):
     variables = import_params(ours, ref, ij)
     o = ours.apply(variables, ij)
     assert np.allclose(o, r, atol=1e-4)
+
+
+def test_packed_shared_kv_sdpa_equals_plain():
+    """The decode-path MXU packing must be numerically equivalent to the
+    plain batched einsum for every mask combination."""
+    from moleculediffusiontransformer_tpu.nn.transformer_blocks import (
+        NEG_INF, packed_shared_kv_sdpa)
+    rng = np.random.RandomState(0)
+    b, h, n, d, j = 32, 8, 1, 16, 17
+    q = jnp.asarray(rng.randn(b, h, n, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, j, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, j, d), jnp.float32)
+    masks = [None,
+             jnp.asarray(rng.rand(b, 1, n, j) > 0.3),
+             jnp.asarray((np.arange(j) <= 8)[None, None, None, :])]
+    for mask in masks:
+        if mask is not None:  # every row needs >= 1 valid key
+            mask = mask.at[..., 0].set(True)
+        got = packed_shared_kv_sdpa(q, k, v, mask, jnp.float32)
+        assert got is not None
+        sim = jnp.einsum("bhnd,bjd->bhnj", q, k,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        if mask is not None:
+            sim = jnp.where(mask, sim, NEG_INF)
+        att = jax.nn.softmax(sim, axis=-1)
+        want = jnp.einsum("bhnj,bjd->bhnd", att, v,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
