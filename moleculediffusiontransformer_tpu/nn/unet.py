@@ -31,6 +31,46 @@ from .primitives import Dense, Dtype, gelu
 Arrays = Sequence[jax.Array]
 
 
+def _resnet_run(mod: nn.Module, x: jax.Array,
+                mapping: Optional[jax.Array], ch: int, num_layers: int,
+                *, collect: bool = False,
+                skips: Optional[List[jax.Array]] = None,
+                skip_scale: float = 1.0) -> Tuple[jax.Array, List[jax.Array]]:
+    """The ``blocks_i`` ResnetBlock1d run of a UNet stage: the XLA
+    composition by default, ONE fused Pallas program when
+    ``ops.resnet_fusion.enable_resnet_fusion()`` is on (opt-in; measured
+    SLOWER than XLA at the production shapes — kept as tested
+    infrastructure, see ops/resnet_fusion.py).  Params are read back
+    through ``mod.variables`` so the tree is identical either way."""
+    from ..ops import resnet_fusion as rfu
+
+    use_mapping = mod.use_mapping
+    skip_list = None
+    if skips is not None:
+        skip_list = [skips.pop() for _ in range(num_layers)]
+    if (rfu.resnet_fusion_enabled() and not mod.is_initializing()
+            and num_layers > 0):
+        trees = [mod.variables["params"][f"blocks_{i}"]
+                 for i in range(num_layers)
+                 if f"blocks_{i}" in mod.variables["params"]]
+        if len(trees) == num_layers and rfu.fusable(x, trees,
+                                                    mod.num_groups):
+            return rfu.resnet_stack_fused(
+                trees, x, mapping if use_mapping else None, skip_list,
+                groups=mod.num_groups, skip_scale=skip_scale,
+                collect=collect)
+    outs: List[jax.Array] = []
+    for i in range(num_layers):
+        if skip_list is not None:
+            x = jnp.concatenate([x, skip_list[i] * skip_scale], axis=-1)
+        x = ResnetBlock1d(ch, num_groups=mod.num_groups,
+                          use_mapping=use_mapping, dtype=mod.dtype,
+                          name=f"blocks_{i}")(x, mapping)
+        if collect:
+            outs.append(x)
+    return x, outs
+
+
 class DownsampleBlock1d(nn.Module):
     """Downsample conv -> [context channel concat] -> [pre_transformer
     self-attn] -> N ResnetBlocks -> [cross-attn transformer], collecting
@@ -85,12 +125,9 @@ class DownsampleBlock1d(nn.Module):
             if self.use_skip:
                 skips.append(x)
 
-        for i in range(self.num_layers):
-            x = ResnetBlock1d(ch, num_groups=self.num_groups,
-                              use_mapping=self.use_mapping, dtype=self.dtype,
-                              name=f"blocks_{i}")(x, mapping)
-            if self.use_skip:
-                skips.append(x)
+        x, block_outs = _resnet_run(self, x, mapping, ch, self.num_layers,
+                                    collect=self.use_skip)
+        skips.extend(block_outs)
 
         if self.num_transformer_blocks > 0:
             x = Transformer1d(self.num_transformer_blocks, ch,
@@ -160,12 +197,8 @@ class UpsampleBlock1d(nn.Module):
             x = upsample1d(x, self.out_channels, self.factor,
                            self.use_nearest, dtype=self.dtype)
 
-        for i in range(self.num_layers):
-            if skips is not None:
-                x = jnp.concatenate([x, skips.pop() * skip_scale], axis=-1)
-            x = ResnetBlock1d(ch, num_groups=self.num_groups,
-                              use_mapping=self.use_mapping, dtype=self.dtype,
-                              name=f"blocks_{i}")(x, mapping)
+        x, _ = _resnet_run(self, x, mapping, ch, self.num_layers,
+                           skips=skips, skip_scale=skip_scale)
 
         if self.pre_transformer > 0:
             x = Transformer1d(self.pre_transformer, ch, dtype=self.dtype,

@@ -208,18 +208,27 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
     c = x_ref.shape[-1]
     x = x_ref[:].reshape(rows, c)
 
-    # attention runs on sub-blocks of `sub_packs` packs (sub_packs*length
-    # rows ~ one 128-row MXU tile) so the block-diagonal waste stays at the
-    # packed-SDPA level while projections/FF see the full `rows` GEMM.
-    sub_q = sub_packs * length
-    nsub = rows // sub_q
-    self_mask = (_blk_ids((sub_q, sub_q), 0, length)
-                 == _blk_ids((sub_q, sub_q), 1, length))
+    # Attention runs on chunks of g packs with g*L ~ one 128-row MXU tile.
+    # (Measured alternative: shrinking g until g*kv_len <= 128 lanes cuts
+    # the block-diagonal softmax waste quadratically but loses MORE to
+    # small-GEMM issue latency — 559 -> 722 us/call on the L=4,C=256
+    # stage.  Rows win; keep the q side at full tiles.)
+    def _chunk_g(kv_per_pack: int) -> int:
+        g = p
+        while g > 1 and (g * length > 128 or p % g):
+            g -= 1
+        return max(g, 1)
+
+    g_self = _chunk_g(length)
+    self_mask = (_blk_ids((g_self * length, g_self * length), 0, length)
+                 == _blk_ids((g_self * length, g_self * length), 1, length))
     if cross:
         ctx = ctx_ref[:].reshape(p * ctx_len, ctx_ref.shape[-1])
-        sub_kvc = sub_packs * ctx_len
-        cross_mask = (_blk_ids((sub_q, sub_kvc), 0, length)
-                      == _blk_ids((sub_q, sub_kvc), 1, ctx_len))
+        g_cross = _chunk_g(ctx_len)
+        cross_mask = (_blk_ids((g_cross * length, g_cross * ctx_len), 0,
+                               length)
+                      == _blk_ids((g_cross * length, g_cross * ctx_len), 1,
+                                  ctx_len))
 
     # -------- GroupNorm(32, eps 1e-6) to_in_0 ------------------------------
     gn_scale, gn_bias = w(), w()
@@ -254,8 +263,8 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
     inner = heads * head_dim
     scale = head_dim ** -0.5
 
-    def attention(y, kv_src, kv_per_pack, mask, wq, wkv, wout, bout,
-                  nscale, nbias, cscale, cbias):
+    def attention(y, kv_src, kv_per_pack, chunk_packs, mask,
+                  wq, wkv, wout, bout, nscale, nbias, cscale, cbias):
         if "attn" in _ABLATE:
             return y
         q_in = _layer_norm(y.astype(jnp.float32), nscale, nbias
@@ -264,18 +273,23 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
                             ).astype(dtype)
         q = _dot32(q_in, wq).astype(dtype)                       # (R, I)
         kvp = _dot32(kv_in, wkv).astype(dtype)                   # (Rkv, 2I)
-        sub_kv = sub_packs * kv_per_pack
-        sub_outs = []
-        for s in range(nsub):
-            qs = q[s * sub_q:(s + 1) * sub_q]
-            kvs = kvp[s * sub_kv:(s + 1) * sub_kv]
+        cq = chunk_packs * length                                # chunk rows
+        ckv = chunk_packs * kv_per_pack                          # chunk cols
+        nchunk = rows // cq
+        chunk_outs = []
+        for s in range(nchunk):
+            qs = q[s * cq:(s + 1) * cq]
+            kvs = kvp[s * ckv:(s + 1) * ckv]
             outs = []
             for h in range(heads):
                 qh = qs[:, h * head_dim:(h + 1) * head_dim]
                 kh = kvs[:, h * head_dim:(h + 1) * head_dim]
                 vh = kvs[:, inner + h * head_dim:
                          inner + (h + 1) * head_dim]
-                sim = _dot32(qh, kh.T) * scale                   # (sq, skv)
+                # contract last-dim x last-dim directly (no kh.T transpose)
+                sim = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale  # (cq, ckv)
                 if "smax" in _ABLATE:
                     att = sim * jnp.float32(0.01)
                 else:
@@ -284,21 +298,21 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
                     m = jnp.max(sim, axis=-1, keepdims=True)
                     e = jnp.exp(sim - m)
                     att = e / jnp.sum(e, axis=-1, keepdims=True)
-                outs.append(_dot32(att.astype(dtype), vh))       # (sq, d)
-            sub_outs.append(jnp.concatenate(outs, axis=-1))
-        o = (sub_outs[0] if nsub == 1
-             else jnp.concatenate(sub_outs, axis=0)).astype(dtype)
+                outs.append(_dot32(att.astype(dtype), vh))       # (cq, d)
+            chunk_outs.append(jnp.concatenate(outs, axis=-1))
+        o = (chunk_outs[0] if nchunk == 1
+             else jnp.concatenate(chunk_outs, axis=0)).astype(dtype)
         return (_dot32(o, wout) + bout.astype(jnp.float32)).astype(dtype)
 
     for _ in range(num_layers):
         ns, nb, cs, cb, wq, wkv, wout, bout = (w() for _ in range(8))
-        y = attention(y, y, length, self_mask, wq, wkv, wout, bout,
+        y = attention(y, y, length, g_self, self_mask, wq, wkv, wout, bout,
                       ns, nb, cs, cb) + y
         if cross:
             ns, nb, cs, cb, wq, wkv, wout, bout = (w() for _ in range(8))
             if "cross" not in _ABLATE:
-                y = attention(y, ctx, ctx_len, cross_mask, wq, wkv, wout,
-                              bout, ns, nb, cs, cb) + y
+                y = attention(y, ctx, ctx_len, g_cross, cross_mask, wq, wkv,
+                              wout, bout, ns, nb, cs, cb) + y
         w0, b0, w2, b2 = w(), w(), w(), w()
         if "ff" not in _ABLATE:
             h32 = _dot32(y, w0) + b0.astype(jnp.float32)
@@ -319,13 +333,16 @@ def _choose_pack(batch: int, length: int, channels: int
     carries as many sub-blocks as the VMEM weight budget allows — fewer,
     fatter programs amortize the measured per-grid-step cost.
     """
-    sub = max(1, 128 // length)
-    while sub > 1 and batch % sub:
-        sub -= 1
     # measured on v5e (PERF.md): 256 rows/program wins at C<=128 (two
     # sub-blocks amortize per-program cost); at C=256 the weight banks eat
-    # VMEM and 128 rows is fastest.
-    target_rows = 256 if channels <= 128 else 128
+    # VMEM and smaller programs win (64 rows at L<=4, 128 otherwise).
+    if channels <= 128:
+        target_rows = 256
+    else:
+        target_rows = 64 if length <= 4 else 128
+    sub = max(1, min(128, target_rows) // length)
+    while sub > 1 and batch % sub:
+        sub -= 1
     mult = max(1, target_rows // (sub * length))
     p = sub * mult
     while p > sub and batch % p:

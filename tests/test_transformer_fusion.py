@@ -146,3 +146,90 @@ def test_training_step_with_fusion_enabled():
                                    rtol=1e-5)
         assert all(np.isfinite(np.asarray(g)).all()
                    for g in jax.tree_util.tree_leaves(grads))
+
+
+# ------------------------------------------------ fused resnet stacks ------
+
+def _resnet_tree(key, cin, cout, use_mapping, cm=24):
+    from moleculediffusiontransformer_tpu.nn.blocks import ResnetBlock1d
+    mod = ResnetBlock1d(cout, num_groups=8, use_mapping=use_mapping)
+    x = jnp.zeros((2, 8, cin))
+    mp = jnp.zeros((2, cm)) if use_mapping else None
+    return mod, mod.init(jax.random.PRNGKey(key), x, mp)["params"]
+
+
+@pytest.mark.parametrize("use_mapping", [True, False])
+def test_resnet_stack_fused_matches_composition(use_mapping):
+    from moleculediffusiontransformer_tpu.ops import resnet_fusion as rf
+    with jax.default_device(CPU):
+        B, L, C, CM = 4, 16, 32, 24
+        trees = [_resnet_tree(i, C, C, use_mapping, CM)[1] for i in range(3)]
+        x = jax.random.normal(jax.random.PRNGKey(9), (B, L, C))
+        mp = (jax.random.normal(jax.random.PRNGKey(10), (B, CM))
+              if use_mapping else None)
+        out, outs = rf.resnet_stack_fused(trees, x, mp, collect=True,
+                                          interpret=True)
+        # composition oracle
+        from moleculediffusiontransformer_tpu.nn.blocks import ResnetBlock1d
+        h = x
+        for t in trees:
+            h = ResnetBlock1d(C, num_groups=8,
+                              use_mapping=use_mapping).apply(
+                {"params": t}, h, mp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(h),
+                                   atol=2e-5)
+        assert len(outs) == 3
+        np.testing.assert_allclose(np.asarray(outs[-1]), np.asarray(h),
+                                   atol=2e-5)
+
+
+def test_resnet_stack_fused_skip_concat_and_proj():
+    """UpsampleBlock layout: per-block skip concat widens the input, the
+    1x1 to_out projection brings it back — exercised with skip_scale."""
+    from moleculediffusiontransformer_tpu.ops import resnet_fusion as rf
+    from moleculediffusiontransformer_tpu.nn.blocks import ResnetBlock1d
+    with jax.default_device(CPU):
+        B, L, C = 4, 8, 32
+        scale = 2 ** -0.5
+        trees = [_resnet_tree(20 + i, 2 * C, C, True)[1] for i in range(2)]
+        x = jax.random.normal(jax.random.PRNGKey(11), (B, L, C))
+        mp = jax.random.normal(jax.random.PRNGKey(12), (B, 24))
+        skips = [jax.random.normal(jax.random.PRNGKey(13 + i), (B, L, C))
+                 for i in range(2)]
+        out, _ = rf.resnet_stack_fused(trees, x, mp, list(skips),
+                                       skip_scale=scale, interpret=True)
+        h = x
+        for t, sk in zip(trees, skips):
+            h = jnp.concatenate([h, sk * scale], axis=-1)
+            h = ResnetBlock1d(C, num_groups=8, use_mapping=True).apply(
+                {"params": t}, h, mp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(h),
+                                   atol=2e-5)
+
+
+def test_resnet_stack_fused_gradients():
+    from moleculediffusiontransformer_tpu.ops import resnet_fusion as rf
+    from moleculediffusiontransformer_tpu.nn.blocks import ResnetBlock1d
+    with jax.default_device(CPU):
+        B, L, C = 2, 8, 16
+        trees = [_resnet_tree(30 + i, C, C, True)[1] for i in range(2)]
+        x = jax.random.normal(jax.random.PRNGKey(14), (B, L, C))
+        mp = jax.random.normal(jax.random.PRNGKey(15), (B, 24))
+
+        def loss_fused(trees, x):
+            out, _ = rf.resnet_stack_fused(trees, x, mp, interpret=True)
+            return jnp.sum(out ** 2)
+
+        def loss_slow(trees, x):
+            h = x
+            for t in trees:
+                h = ResnetBlock1d(C, num_groups=8, use_mapping=True).apply(
+                    {"params": t}, h, mp)
+            return jnp.sum(h ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(trees, x)
+        gs = jax.grad(loss_slow, argnums=(0, 1))(trees, x)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
