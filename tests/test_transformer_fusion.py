@@ -233,3 +233,32 @@ def test_resnet_stack_fused_gradients():
                         jax.tree_util.tree_leaves(gs)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+def _tpu_available():
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
+def test_fused_compiled_on_tpu_matches_bf16_composition():
+    """The COMPILED Mosaic kernel (not interpret mode) must match the bf16
+    XLA composition on the real chip to ~2 bf16 ulps."""
+    mod = Transformer1d(num_layers=2, channels=64, num_heads=4,
+                        head_features=16, multiplier=2, context_features=64,
+                        dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (16, 16, 64), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (16, 12, 64),
+                            jnp.bfloat16)
+    v = jax.jit(mod.init)(key, x, ctx)
+    ref = jax.jit(lambda: mod.apply(v, x, ctx))()
+    out = jax.jit(lambda: tf.transformer1d_fused(
+        v["params"], x, ctx, num_layers=2, heads=4, head_dim=16,
+        multiplier=2, context_features=64, interpret=False))()
+    d = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                              - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
+    assert d / scale < 0.05, (d, scale)
