@@ -29,7 +29,11 @@ TORCH_CPU_TRAIN_SAMPLES_PER_S = 21.203  # train step, samples/s, batch 16
 
 BATCH = 256
 NUM_STEPS = 64
-TRAIN_BATCH = 256
+# the reference trains at batch 1024 (Inverse_Diffusion nb cell 64); the
+# bench model fits it on one chip (the 91M flagship's envelope is 512,
+# PERF.md) and throughput saturates there: 11.8k / 15.2k / 15.6k
+# samples/s at 256 / 512 / 1024.
+TRAIN_BATCH = 1024
 TRAIN_STEPS = 10
 
 
