@@ -32,7 +32,9 @@ NUM_STEPS = 64
 # the reference trains at batch 1024 (Inverse_Diffusion nb cell 64); the
 # bench model fits it on one chip (the 91M flagship's envelope is 512,
 # PERF.md) and throughput saturates there: 11.8k / 15.2k / 15.6k
-# samples/s at 256 / 512 / 1024.
+# samples/s at 256 / 512 / 1024.  The torch-CPU baseline constant stays
+# its BEST batch (16 -> 21.2 samples/s; at its own batch 1024 it drops to
+# 16.3) — conservative for the speedup ratio.
 TRAIN_BATCH = 1024
 TRAIN_STEPS = 10
 

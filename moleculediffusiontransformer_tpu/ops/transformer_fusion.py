@@ -4,23 +4,23 @@ Reference hot path: `modules.py:469-524` (GroupNorm+1x1-conv in -> N x
 (self-attn [+cross-attn] + FF) -> 1x1-conv out), executed ~25 times per
 denoise eval in the QM UNets.
 
-Why a megakernel (PERF.md round-1 profile): after block-diagonal attention
-packing, one Transformer1d layer still issues ~12 small XLA ops (norms,
-projections, adds), each near the ~15-25 us per-op dispatch/HBM floor —
-the layer runs at ~21 TFLOP/s effective on a chip that sustains 162.
-Fusing the ENTIRE stack into one `pallas_call` keeps activations AND all
-layer weights VMEM-resident: HBM traffic collapses to one x/context read
-and one write per batch tile, and the per-op floor disappears.
+Why a megakernel (PERF.md, corrected round-2 methodology): one
+Transformer1d layer issues ~12 small XLA ops (norms, projections, adds),
+each paying ~1-3 us of on-device op overhead plus HBM round-trips between
+them.  Fusing the ENTIRE stack into one `pallas_call` keeps activations
+AND all layer weights VMEM-resident — measured 1.60x per stage-0 stack
+and 1.75x for the full CFG denoise eval.
 
 Execution layout:
-  * grid over batch packs of P elements, P = floor(128 / L) — each program
-    works on a (P*L, C) = (128, C) row block, the exact MXU sublane tile;
+  * grid over programs of `target_rows` batch-pack rows (256 at C<=128,
+    see `_choose_pack` for the measured tuning); attention runs on
+    ~128-row chunks inside the program;
   * attention uses the same block-diagonal packing as
-    ``nn.attention.packed_sdpa``: per head one (128, d) x (d, 128) product
-    masked to the P-block diagonal — exact math (masked lanes are
+    ``nn.attention.packed_sdpa``: per head one (128, d) x (d, ~128)
+    product masked to the pack diagonal — exact math (masked lanes are
     exp(-inf) = 0);
-  * weights are passed with constant index_maps, so Mosaic's revolving
-    buffers fetch them once and reuse across all grid steps;
+  * weight arrays are banked by shape (~10 operands instead of ~70) and
+    DMA'd once into VMEM scratch at grid step 0;
   * all norms/softmax in fp32, matmuls accumulate fp32 (MXU native).
 
 Differentiation: ``transformer1d_fused`` carries a ``jax.custom_vjp``
@@ -470,7 +470,9 @@ def fusable(x: jax.Array, context: Optional[jax.Array],
     c = x.shape[-1]
     if c % 32:
         return False                       # GroupNorm(32) layout
-    if context is not None and (context_features is None
-                                or context_features <= 0):
+    # context presence must match the config: the slow path asserts on a
+    # missing context (and ignores a spurious one); never diverge from it
+    has_cross = context_features is not None and context_features > 0
+    if has_cross != (context is not None):
         return False
     return True

@@ -112,8 +112,12 @@ def test_fusable_gate():
     x = jnp.zeros((4, 16, 64))
     ctx = jnp.zeros((4, 12, 64))
     assert tf.fusable(x, ctx, use_rel_pos=False, context_features=64)
+    assert tf.fusable(x, None, use_rel_pos=False, context_features=None)
     assert not tf.fusable(x, ctx, use_rel_pos=True, context_features=64)
     assert not tf.fusable(jnp.zeros((4, 16, 24)), None, False, None)
+    # context presence must match the config (slow path asserts/ignores)
+    assert not tf.fusable(x, None, use_rel_pos=False, context_features=64)
+    assert not tf.fusable(x, ctx, use_rel_pos=False, context_features=None)
 
 
 def test_training_step_with_fusion_enabled():
