@@ -238,7 +238,7 @@ def _fused_forward(ws, x, mapping, skips, *, num_blocks, has_skip, has_proj,
     load_once = not interpret
     scratch_shapes = []
     for wa in banks:
-        wms = {"memory_space": pltpu.ANY} if load_once else ms
+        wms = {"memory_space": pl.ANY} if load_once else ms
         in_specs.append(pl.BlockSpec(
             wa.shape, (lambda i, _nd=wa.ndim: (0,) * _nd), **wms))
         operands.append(wa)
