@@ -806,9 +806,15 @@ class MoleculeTransformerGPTPyTorch(nn.Module):
     """GPT variant built on the fused-QKV MHA layer — rebuild of the
     reference's ``MoleculeTransformerGPTPyTorch`` (`transformer.py:5270-5444`).
 
-    Recorded deviation: the reference passes ``is_causal=True`` to torch MHA
-    without an attn_mask (flagged "may be buggy" at `transformer.py:4864`);
-    here causal masking is applied correctly.
+    Recorded deviation (default ``causal=True``): the reference passes
+    ``is_causal=True`` to torch MHA without an attn_mask, and on torch 2.x
+    that flag is a fast-path HINT that is silently IGNORED when no mask is
+    given (verified on torch 2.13: ``is_causal=True`` output equals the
+    unmasked output, not the causal one — the reference's own comment at
+    `transformer.py:4864` says "may be buggy").  The reference model is
+    therefore genuinely non-causal; here the mask is applied correctly by
+    default.  Set ``causal=False`` to reproduce the reference quirk exactly
+    (golden-tested both ways).
     """
     dim: int = 128
     depth: int = 12
@@ -820,6 +826,7 @@ class MoleculeTransformerGPTPyTorch(nn.Module):
     text_embed_dim: Optional[int] = 16    # vestigial fc1, kept for parity
     concat_pos_encoding: bool = False
     pos_fourier_graph_dim: Optional[int] = None
+    causal: bool = True
     dtype: Dtype = jnp.float32
 
     @property
@@ -837,7 +844,7 @@ class MoleculeTransformerGPTPyTorch(nn.Module):
         self.init_norm = LNGamma(dtype=self.dtype)
         for i in range(self.depth):
             setattr(self, f"layers_{i}_0",
-                    TorchMHA(self.dim, self.heads, causal=True,
+                    TorchMHA(self.dim, self.heads, causal=self.causal,
                              dtype=self.dtype))
             hidden = int(self.dim * self.ff_mult)
             setattr(self, f"layers_{i}_1_0", LNGamma(dtype=self.dtype))

@@ -266,11 +266,12 @@ def packed_shared_kv_sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     if mask is not None:
         m = jnp.broadcast_to(mask, (b, 1, n, j))[:, 0]         # (b, n, j)
         m = jnp.tile(m, (1, h, 1)).reshape(bg, g, rows, j)
-        full = jnp.zeros((bg, g * rows, g * j), bool)
-        for gi in range(g):
-            full = full.at[:, gi * rows:(gi + 1) * rows,
-                           gi * j:(gi + 1) * j].set(m[:, gi])
-        big = big & full
+        # one-shot block-diagonal scatter: entry [b, gi*rows+r, gj*j+c] is
+        # m[b, gi, r, c] & (gi == gj) — diagonal blocks carry the user mask,
+        # off-diagonal blocks are False (subsumes the pack-diagonal `big`)
+        eye = jnp.eye(g, dtype=bool)
+        big = (m[:, :, :, None, :]
+               & eye[None, :, None, :, None]).reshape(bg, g * rows, g * j)
     sim = jnp.where(big, sim, NEG_INF)
     att = jax.nn.softmax(sim.astype(jnp.float32), axis=-1)
     out = jnp.einsum("gRJ,gJd->gRd", att.astype(dtype), v2,

@@ -217,7 +217,7 @@ def _fused_forward(ws, x, mapping, skips, *, num_blocks, has_skip, has_proj,
     from jax.experimental.pallas import tpu as pltpu
 
     b, length, c_in = x.shape
-    out_c = ws_out_channels(ws, num_blocks, use_mapping, has_proj)
+    out_c = ws_out_channels(ws, has_proj)
     p = _choose_p(b, length, max(c_in, out_c))
     grid = (b // p,)
     ms = {} if interpret else {"memory_space": pltpu.VMEM}
@@ -276,7 +276,7 @@ def _fused_forward(ws, x, mapping, skips, *, num_blocks, has_skip, has_proj,
     return outs, []
 
 
-def ws_out_channels(ws, num_blocks, use_mapping, has_proj) -> int:
+def ws_out_channels(ws, has_proj) -> int:
     """Output channel count from the last block's conv2 kernel (which sits
     2 — or 4 when the block has a skip projection — entries from the end
     of the ABI list)."""

@@ -35,10 +35,16 @@ def distributed_init(coordinator_address: Optional[str] = None,
     or ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``).
     Call ONCE per process, before any other jax API touches the backend.
     """
-    from jax._src import distributed as _dist
-    if getattr(_dist.global_state, "client", None) is not None:
-        return  # already initialized (must not probe backends here —
-        #         jax.process_count() would itself initialize XLA)
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return  # already initialized (must not probe backends here —
+            #         jax.process_count() would itself initialize XLA)
+    except (ImportError, AttributeError):
+        # private-API probe only; if jax moves it, fall through and let
+        # jax.distributed.initialize raise its own 'already initialized'
+        # RuntimeError, which we treat as the idempotent no-op.
+        pass
     kwargs = {}
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -54,7 +60,11 @@ def distributed_init(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = process_id
     kwargs.update(extra)
     if kwargs or coordinator_address is None:
-        jax.distributed.initialize(**kwargs)
+        try:
+            jax.distributed.initialize(**kwargs)
+        except RuntimeError as e:  # pragma: no cover - depends on jax ver.
+            if "already" not in str(e).lower():
+                raise
 
 
 def make_global_mesh(axis_name: str = "data",

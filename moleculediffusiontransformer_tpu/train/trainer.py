@@ -51,15 +51,27 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 def make_diffusion_train_step(model, tx: optax.GradientTransformation,
                               donate: bool = True,
-                              remat: bool = False) -> Callable:
+                              remat: bool = False,
+                              accumulation_steps: int = 1) -> Callable:
     """Jitted step for the QM diffusion models:
     ``state, (X, y), key -> state, loss`` where the model's __call__ is
     ``(conditioning, target, key) -> loss``.
 
+    ``accumulation_steps=A`` splits the batch into A sequential microbatches
+    inside the SAME jitted program (``lax.scan``) and averages the grads
+    before the one optimizer update — the activation envelope becomes
+    batch/A per chip (PERF.md: the 91M flagship's is ≤512) while the
+    optimizer sees the full-batch gradient.  Each microbatch gets its own
+    folded PRNG key, so the update equals the average of A independent
+    half-batch grads (tested result-identical against exactly that).
+
     ``remat=True`` rematerializes the forward under ``jax.checkpoint`` —
-    trades ~1 extra forward of FLOPs for activation memory, raising the
-    per-chip batch ceiling (the 91M model OOMs a single v5e at batch 1024
-    without it)."""
+    trades ~1 extra forward of FLOPs for activation memory.  Measured on
+    hardware (PERF.md round 2): for the 91M flagship it does NOT raise the
+    per-chip batch ceiling — batch 1024 crashes a single v5e with or
+    without it; the envelope is ≤512/chip and costs ~13% with remat on.
+    Scale batch via data parallelism or ``accumulation_steps`` instead;
+    remat remains useful for deeper models."""
 
     def loss_fn(params, conditioning, target, key):
         return model.apply({"params": params}, conditioning, target, key)
@@ -67,17 +79,87 @@ def make_diffusion_train_step(model, tx: optax.GradientTransformation,
     if remat:
         loss_fn = jax.checkpoint(loss_fn)
 
+    A = accumulation_steps
+    assert A >= 1, accumulation_steps
+
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, conditioning, target, key):
         key = jax.random.fold_in(key, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, conditioning,
-                                                  target, key)
+        if A == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, conditioning, target, key)
+        else:
+            b = conditioning.shape[0]
+            assert b % A == 0, (b, A)
+            micro_c = conditioning.reshape((A, b // A) + conditioning.shape[1:])
+            micro_t = target.reshape((A, b // A) + target.shape[1:])
+            keys = jax.random.split(key, A)
+
+            def body(carry, xs):
+                loss_sum, grad_sum = carry
+                mc, mt, mk = xs
+                ls, gs = jax.value_and_grad(loss_fn)(state.params, mc, mt, mk)
+                return (loss_sum + ls,
+                        jax.tree_util.tree_map(jnp.add, grad_sum, gs)), None
+
+            zeros = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, (jnp.zeros((), jnp.float32), zeros),
+                (micro_c, micro_t, keys))
+            loss = loss_sum / A
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / A).astype(p.dtype), grad_sum, state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params,
                              opt_state=opt_state), loss
 
     return train_step
+
+
+def preflight_memory_check(train_step: Callable, state: TrainState,
+                           *example_args, margin: float = 0.92) -> Dict:
+    """Compile the step for the given shapes and verify it fits device HBM.
+
+    An OOM-scale program on this TPU runtime is a hard worker crash, not a
+    clean ``RESOURCE_EXHAUSTED`` (PERF.md remat-envelope table) — so the
+    only safe failure mode is to never launch it.  Uses
+    ``compiled.memory_analysis()`` (argument + output + temp − aliased)
+    against the device's ``memory_stats()['bytes_limit']``; raises
+    ``RuntimeError`` above ``margin``.  Returns the analysis dict.  On
+    backends without memory stats (CPU test meshes) the check degrades to
+    reporting only.
+    """
+    lowered = train_step.lower(state, *example_args)
+    compiled = lowered.compile()
+    ma = compiled.memory_analysis()
+    info: Dict[str, Any] = {"ok": True}
+    if ma is None:                      # pragma: no cover - backend-specific
+        return info
+    try:
+        total = int(ma.argument_size_in_bytes + ma.output_size_in_bytes
+                    + ma.temp_size_in_bytes - ma.alias_size_in_bytes)
+    except AttributeError:              # pragma: no cover - backend-specific
+        return info
+    info["estimated_bytes"] = total
+    stats = None
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:                   # pragma: no cover - backend-specific
+        pass
+    limit = (stats or {}).get("bytes_limit")
+    if limit:
+        info["bytes_limit"] = int(limit)
+        if total > margin * limit:
+            info["ok"] = False
+            raise RuntimeError(
+                f"preflight: compiled train step needs ~{total / 1e9:.2f} GB "
+                f"of device memory but the chip limit is {limit / 1e9:.2f} GB"
+                f" (margin {margin}).  Reduce batch size or raise "
+                f"TrainConfig.accumulation_steps (envelope: ≤512 samples/"
+                f"chip for the 91M flagship, PERF.md).")
+    return info
 
 
 def make_transformer_train_step(model, tx: optax.GradientTransformation,
@@ -178,16 +260,22 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
             state = restore_checkpoint(ckpt, state)
             state = replicate(mesh, state)
 
-    train_step = make_diffusion_train_step(model, tx)
+    train_step = make_diffusion_train_step(
+        model, tx, accumulation_steps=config.accumulation_steps)
     data_key = jax.random.PRNGKey(config.seed + 1)
 
     t0 = time.time()
     samples_seen = 0
+    preflighted = False
     for epoch in range(config.epochs):
         for X, y in data_iter_fn():
             cond, target = (y, X) if not swap_xy else (X, y)
             cond, target = shard_batch(mesh, (np.asarray(cond),
                                               np.asarray(target)))
+            if config.preflight_memory_check and not preflighted:
+                preflight_memory_check(train_step, state, cond, target,
+                                       data_key)
+                preflighted = True
             state, loss = train_step(state, cond, target, data_key)
             samples_seen += cond.shape[0]
             step = int(state.step)

@@ -258,6 +258,80 @@ def test_remat_train_step_matches(tiny):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_gradient_accumulation_matches_microbatch_average(tiny):
+    """accumulation_steps=A must produce EXACTLY the averaged gradient of
+    the A independent microbatches (same folded keys), i.e. the full-batch
+    semantics at 1/A the activation footprint."""
+    import optax
+    model, variables, _, _ = tiny
+    tx = optax.sgd(1e-3)
+    cond = jnp.asarray(np.random.RandomState(0).randn(8, 12), jnp.float32)
+    target = jnp.asarray(np.random.RandomState(1).randn(8, 8, 6), jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    # CPU-pinned: the equality is exact there; on the tunneled TPU the
+    # scan-vs-separate-calls reduction order adds benign noise
+    with jax.default_device(jax.devices("cpu")[0]):
+        state = TrainState.create(variables["params"], tx)
+        step = make_diffusion_train_step(model, tx, donate=False,
+                                         accumulation_steps=2)
+        state_a, loss_a = step(state, cond, target, key)
+
+        # oracle: two independent half-batch grads with the step's own keys
+        folded = jax.random.fold_in(key, 0)
+        keys = jax.random.split(folded, 2)
+
+        def loss_fn(p, c, t, k):
+            return model.apply({"params": p}, c, t, k)
+
+        losses, grads = [], []
+        for i in range(2):
+            l, g = jax.value_and_grad(loss_fn)(
+                state.params, cond[4 * i:4 * i + 4],
+                target[4 * i:4 * i + 4], keys[i])
+            losses.append(float(l))
+            grads.append(g)
+        avg = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+        updates, _ = tx.update(avg, state.opt_state, state.params)
+        params_o = optax.apply_updates(state.params, updates)
+
+        assert np.allclose(float(loss_a), np.mean(losses), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                        jax.tree_util.tree_leaves(params_o)):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_preflight_memory_check(tiny):
+    """The preflight guard compiles the step, reports an estimate, and
+    raises cleanly when the estimate exceeds the (spoofed) device limit."""
+    import optax
+    from moleculediffusiontransformer_tpu.train import preflight_memory_check
+    model, variables, _, _ = tiny
+    tx = optax.sgd(1e-3)
+    state = TrainState.create(variables["params"], tx)
+    step = make_diffusion_train_step(model, tx, donate=False)
+    cond = jnp.zeros((4, 12))
+    target = jnp.zeros((4, 8, 6))
+    key = jax.random.PRNGKey(0)
+    info = preflight_memory_check(step, state, cond, target, key)
+    assert info["ok"]
+    if "estimated_bytes" not in info:
+        pytest.skip("backend provides no memory analysis")
+    assert info["estimated_bytes"] > 0
+    # spoof a tiny device limit via the margin machinery: monkeypatch
+    # memory_stats through a fake device is brittle across backends, so
+    # instead verify the raise path by calling the internal comparison
+    # directly with a margin that forces failure when a real limit exists.
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        stats = None
+    if stats and stats.get("bytes_limit"):
+        with pytest.raises(RuntimeError, match="preflight"):
+            preflight_memory_check(step, state, cond, target, key,
+                                   margin=-1.0)
+
+
 def test_in_epoch_eval_cadence(tiny, tmp_path):
     """eval_every_steps must produce mid-epoch eval records + checkpoints
     (reference `generative.py:1139-1172` evals every print_loss steps

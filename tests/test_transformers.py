@@ -177,6 +177,119 @@ def test_gpt_matches_torch(reference_transformer):
     assert abs(o_loss - r_loss) < 1e-4
 
 
+def test_gpt_pytorch_mha_matches_torch(reference_transformer):
+    """Golden parity for MoleculeTransformerGPTPyTorch (reference
+    `transformer.py:5270-5444`, last duplicate wins), BOTH ways around the
+    reference's causal-mask bug.  The reference calls torch MHA with
+    ``is_causal=True`` but NO attn_mask; on torch 2.x that hint is silently
+    ignored (probed here), so the reference model is genuinely non-causal:
+
+      * causal=False must match the RAW reference exactly (quirk parity);
+      * causal=True (our default/fix) must match a mask-corrected oracle
+        (the same torch module called with an explicit causal attn_mask).
+    """
+    import torch
+    from moleculediffusiontransformer_tpu.models.transformers import (
+        MoleculeTransformerGPTPyTorch)
+    torch.manual_seed(0)
+    kw = dict(dim=32, depth=2, max_tokens=24, logits_dim=24, heads=4,
+              embed_dim=16, text_embed_dim=16)
+    ref = reference_transformer.MoleculeTransformerGPTPyTorch(**kw)
+    ref.eval()
+    ids = torch.tensor([[1, 2, 3, 4, 7], [2, 3, 4, 5, 6]])
+    n = ids.shape[1]
+    with torch.no_grad():
+        # confirm the quirk on this torch build: is_causal hint is a no-op
+        mha = ref.layers[0][0]
+        x = torch.randn(2, n, kw["dim"])
+        hinted = mha(x, x, x, is_causal=True, need_weights=False)[0]
+        unmasked = mha(x, x, x, need_weights=False)[0]
+        assert torch.allclose(hinted, unmasked, atol=1e-6), \
+            "torch is_causal semantics changed; revisit this test"
+        r = ref(output=ids).numpy()
+        r_loss = float(ref(output=ids, return_loss=True))
+        r_loss_pad = float(ref(output=ids, return_loss=True,
+                               ignore_padding_zeros=True))
+    ij = to_jax(ids).astype(jnp.int32)
+
+    # 1) quirk parity: causal=False == raw reference
+    ours_q = MoleculeTransformerGPTPyTorch(causal=False, **kw)
+    variables = import_params(ours_q, ref, ij)
+    o = ours_q.apply(variables, ij)
+    assert o.shape == r.shape
+    assert np.allclose(o, r, atol=TOL)
+    o_loss = float(ours_q.apply(variables, ij, return_loss=True))
+    assert abs(o_loss - r_loss) < 1e-4
+    o_loss_pad = float(ours_q.apply(variables, ij, return_loss=True,
+                                    ignore_padding_zeros=True))
+    assert abs(o_loss_pad - r_loss_pad) < 1e-4
+
+    # 2) corrected parity: causal=True == the torch module with the causal
+    #    mask ACTUALLY applied (monkey-patch each MHA call with attn_mask)
+    causal_mask = torch.triu(torch.ones(n, n, dtype=torch.bool), diagonal=1)
+    with torch.no_grad():
+        x = ref.token_embed(ids.long())
+        x = x + ref.p_enc_1d_graph(torch.ones(2, n, ref.pos_fourier_graph_dim))
+        x = ref.init_norm(ref.to_dim(x))
+        for self_attn, ff in ref.layers:
+            x = self_attn(x, x, x, attn_mask=causal_mask,
+                          need_weights=False)[0] + x
+            x = ff(x) + x
+        r_fixed = ref.to_logits(ref.final_norm(x)).numpy()
+    ours_c = MoleculeTransformerGPTPyTorch(**kw)   # causal=True default
+    o_c = ours_c.apply(variables, ij)
+    assert np.allclose(o_c, r_fixed, atol=TOL)
+    assert not np.allclose(o_c, r, atol=1e-3)      # the quirk is material
+
+
+def test_gpt_pytorch_mha_concat_pos_matches_torch(reference_transformer):
+    """concat_pos_encoding=True variant (reference `transformer.py:5295-5300`:
+    to_dim input widens to embed_dim + pos_fourier_graph_dim)."""
+    import torch
+    from moleculediffusiontransformer_tpu.models.transformers import (
+        MoleculeTransformerGPTPyTorch)
+    torch.manual_seed(0)
+    kw = dict(dim=32, depth=2, max_tokens=24, logits_dim=24, heads=4,
+              embed_dim=16, text_embed_dim=16, concat_pos_encoding=True,
+              pos_fourier_graph_dim=8)
+    ref = reference_transformer.MoleculeTransformerGPTPyTorch(**kw)
+    ref.eval()
+    ids = torch.tensor([[1, 2, 3, 4, 7], [2, 3, 4, 5, 6]])
+    with torch.no_grad():
+        r = ref(output=ids).numpy()
+    # raw-reference oracle -> quirk mode (see test above for why)
+    ours = MoleculeTransformerGPTPyTorch(causal=False, **kw)
+    ij = to_jax(ids).astype(jnp.int32)
+    variables = import_params(ours, ref, ij)
+    o = ours.apply(variables, ij)
+    assert np.allclose(o, r, atol=TOL)
+
+
+def test_generate_gpt_mha_deterministic_and_prefix():
+    """generate_gpt_mha: shape, prefix preservation, argmax determinism,
+    and gumbel determinism given a fixed key."""
+    from moleculediffusiontransformer_tpu.models.transformers import (
+        MoleculeTransformerGPTPyTorch, generate_gpt_mha)
+    model = MoleculeTransformerGPTPyTorch(dim=32, depth=2, max_tokens=24,
+                                          logits_dim=24, heads=4,
+                                          embed_dim=16, text_embed_dim=16)
+    start = jnp.asarray([[1, 2], [3, 4]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), start)
+    out = generate_gpt_mha(model, variables, start, jax.random.PRNGKey(1),
+                           tokens_to_generate=6)
+    assert out.shape == (2, 8)
+    assert np.array_equal(np.asarray(out[:, :2]), np.asarray(start))
+    assert np.asarray(out).max() < 24 and np.asarray(out).min() >= 0
+    out2 = generate_gpt_mha(model, variables, start, jax.random.PRNGKey(1),
+                            tokens_to_generate=6)
+    assert np.array_equal(np.asarray(out), np.asarray(out2))
+    g1 = generate_gpt_mha(model, variables, start, jax.random.PRNGKey(2),
+                          tokens_to_generate=6, use_gumbel_sample=False)
+    g2 = generate_gpt_mha(model, variables, start, jax.random.PRNGKey(3),
+                          tokens_to_generate=6, use_gumbel_sample=False)
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))  # argmax: key-free
+
+
 def test_cached_decode_matches_full_forward():
     """The KV-cached decode path must produce the same logits as the full
     forward at every position (cond and null halves)."""
