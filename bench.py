@@ -136,14 +136,13 @@ def main():
     props = jnp.zeros((2, 12))
     target = jnp.zeros((2, model.max_length, model.pred_dim))
     variables = jax.jit(model.init)(key, props, target, key)
-    # Sampling runs the Transformer1d megakernel (1.49x end-to-end).
-    # Training keeps the XLA composition: the fused path's custom-vjp
-    # backward re-runs the slow forward (rematerialization), which costs
-    # more than it saves on the grad step (measured: 9.2k vs 11.6k
-    # samples/s) — see PERF.md.
+    # Both metrics run the Transformer1d megakernel: sampling via the fused
+    # forward (1.49x end-to-end), training via fused forward + the Pallas
+    # BACKWARD segment chain (round 3; 19.4k vs 16.2k samples/s at batch
+    # 1024 — the round-2 legacy remat backward measured 13.2k, see PERF.md).
     with transformer_fusion.fused(True):
         bench_sampling(model, variables)
-    bench_train(model, variables)
+        bench_train(model, variables)
 
 
 if __name__ == "__main__":

@@ -253,7 +253,7 @@ class Transformer1d(nn.Module):
         if (tf.fusion_enabled() and not self.disable_fusion
                 and not self.is_initializing()
                 and tf.fusable(x, context, self.use_rel_pos,
-                               self.context_features)):
+                               self.context_features, dtype=self.dtype)):
             return tf.transformer1d_fused(
                 self.variables["params"], x,
                 None if not self.context_features else context,

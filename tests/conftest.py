@@ -9,6 +9,12 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the virtual CPU mesh
+# The fused Transformer1d path defaults ON when the default backend is a TPU
+# (which it is here even under JAX_PLATFORMS=cpu — the axon plugin wins);
+# parity tests compare the slow composition, and CPU-placed arrays cannot
+# run compiled Mosaic kernels, so pin the production default OFF.  Fusion
+# tests opt in explicitly via tf.fused() + interpret mode.
+os.environ.setdefault("MDT_FUSION", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

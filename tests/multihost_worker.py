@@ -89,6 +89,15 @@ with jax.default_device(cpu0):
     cond_s, target_s = shard_batch_global(mesh, (cond_l, target_l))
     assert cond_s.shape == (global_batch, 12), cond_s.shape
 
+    if os.environ.get("MDT_TEST_FUSED_INTERPRET"):
+        # fusion x distribution composition: run the SAME step through the
+        # Pallas megakernel (interpret mode on the CPU mesh) — the parent
+        # asserts the all-reduced loss still equals the unfused oracle
+        from moleculediffusiontransformer_tpu.ops import (
+            transformer_fusion as tf)
+        tf._INTERPRET = True
+        tf.enable_fusion(True)
+
     step = make_diffusion_train_step(model, tx, donate=False)
     state_g, loss = step(state_g, cond_s, target_s, key_g)
     loss = float(loss)

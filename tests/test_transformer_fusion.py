@@ -48,29 +48,54 @@ def test_fused_forward_matches_module(cross, shape):
                                    atol=2e-5)
 
 
-def test_fused_gradients_match_module():
+@pytest.mark.parametrize("cross", [True, False])
+@pytest.mark.parametrize("pallas_bwd", [True, False])
+def test_fused_gradients_match_module(cross, pallas_bwd):
+    """Both backward implementations — the Pallas segment chain (default)
+    and the legacy rematerializing XLA autodiff — must reproduce the slow
+    path's gradients for params, x AND context."""
     with jax.default_device(CPU):
-        mod = _make(True)
-        x, ctx = _data(True)
-        v = mod.init(jax.random.PRNGKey(0), x, ctx)
+        mod = _make(cross)
+        x, ctx = _data(cross)
+        args = (x, ctx) if cross else (x,)
+        v = mod.init(jax.random.PRNGKey(0), *args)
 
-        def loss_fused(params, x):
-            out = tf.transformer1d_fused(
-                params, x, ctx, num_layers=2, heads=4, head_dim=16,
-                multiplier=2, context_features=64, interpret=True)
+        def loss_fused(params, x, ctx):
+            with tf.fused_backward(pallas_bwd):
+                out = tf.transformer1d_fused(
+                    params, x, ctx if cross else None, num_layers=2,
+                    heads=4, head_dim=16, multiplier=2,
+                    context_features=64 if cross else None, interpret=True)
             return jnp.sum(out ** 2)
 
-        def loss_slow(params, x):
-            return jnp.sum(mod.apply({"params": params}, x, ctx) ** 2)
+        def loss_slow(params, x, ctx):
+            a = (x, ctx) if cross else (x,)
+            return jnp.sum(mod.apply({"params": params}, *a) ** 2)
 
-        gf_p, gf_x = jax.grad(loss_fused, argnums=(0, 1))(v["params"], x)
-        gs_p, gs_x = jax.grad(loss_slow, argnums=(0, 1))(v["params"], x)
-        np.testing.assert_allclose(np.asarray(gf_x), np.asarray(gs_x),
-                                   rtol=1e-4, atol=1e-5)
-        for a, b in zip(jax.tree_util.tree_leaves(gf_p),
-                        jax.tree_util.tree_leaves(gs_p)):
+        argn = (0, 1, 2) if cross else (0, 1)
+        gf = jax.grad(loss_fused, argnums=argn)(v["params"], x, ctx)
+        gs = jax.grad(loss_slow, argnums=argn)(v["params"], x, ctx)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gs)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
+
+
+def test_unflatten_grads_roundtrip():
+    """unflatten_grads must invert flatten_params exactly (shapes, dtypes,
+    tree structure) — the grad-tree reassembly the Pallas backward uses."""
+    mod = _make(True)
+    x, ctx = _data(True)
+    v = mod.init(jax.random.PRNGKey(0), x, ctx)
+    flat = tf.flatten_params(v["params"], 2, True)
+    rebuilt = tf.unflatten_grads(flat, v["params"], 2, True)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(v["params"])
+    new_leaves = jax.tree_util.tree_leaves_with_path(rebuilt)
+    assert len(ref_leaves) == len(new_leaves)
+    for (pa, a), (pb, b) in zip(ref_leaves, new_leaves):
+        assert pa == pb
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_dispatch_uses_kernel_and_matches():
@@ -150,6 +175,123 @@ def test_training_step_with_fusion_enabled():
                                    rtol=1e-5)
         assert all(np.isfinite(np.asarray(g)).all()
                    for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_fusion_production_default_resolution():
+    """With no explicit toggle the fused path resolves from MDT_FUSION /
+    the default backend; explicit enable_fusion()/fused() always wins."""
+    import os
+    prev_enabled, prev_auto = tf._ENABLED, tf._AUTO
+    prev_env = os.environ.get("MDT_FUSION")
+    try:
+        tf._ENABLED = None
+        os.environ["MDT_FUSION"] = "1"
+        tf._AUTO = None
+        assert tf.fusion_enabled()
+        os.environ["MDT_FUSION"] = "0"
+        tf._AUTO = None
+        assert not tf.fusion_enabled()
+        with tf.fused(True):
+            assert tf.fusion_enabled()      # explicit beats auto
+        assert not tf.fusion_enabled()
+        tf._ENABLED = False
+        os.environ["MDT_FUSION"] = "1"
+        tf._AUTO = None
+        assert not tf.fusion_enabled()      # forced off beats env
+    finally:
+        tf._ENABLED, tf._AUTO = prev_enabled, prev_auto
+        if prev_env is None:
+            os.environ.pop("MDT_FUSION", None)
+        else:
+            os.environ["MDT_FUSION"] = prev_env
+
+
+def test_production_sampling_path_uses_kernel():
+    """The PUBLIC sampling surface (models.sample — what design.* and the
+    examples call) must route through the Pallas kernel when fusion is on:
+    the round-2 verdict found the fused path was bench-only in practice."""
+    from moleculediffusiontransformer_tpu.models import QMDiffusion, sample
+    with jax.default_device(CPU):
+        model = QMDiffusion(
+            max_length=16, channels=32, pred_dim=8, text_embed_dim=16,
+            embed_dim_position=16, context_embedding_max_length=12,
+            multipliers=(1, 2), factors=(2,), num_blocks=(1,),
+            attentions=(1,), attention_heads=2, attention_features=16,
+            pre_transformer=1, patch_size=1)
+        key = jax.random.PRNGKey(0)
+        props = jnp.zeros((2, 12))
+        target = jnp.zeros((2, 16, 8))
+        v = jax.jit(model.init)(key, props, target, key)
+        ref = sample(model, v, props, key, num_steps=2, cond_scale=2.0)
+        ref = np.asarray(ref)
+        # the fusion flag is trace-time: drop the cached unfused trace of
+        # the jitted `sample` so the fused flag can take effect
+        jax.clear_caches()
+
+        def fn(params, props, key):
+            return sample(model, {"params": params}, props, key,
+                          num_steps=2, cond_scale=2.0)
+
+        try:
+            tf._INTERPRET = True
+            with tf.fused(True):
+                jaxpr = str(jax.make_jaxpr(fn)(v["params"], props, key))
+                out = fn(v["params"], props, key)
+        finally:
+            tf._INTERPRET = False
+            jax.clear_caches()  # don't leak the fused trace to later tests
+        assert "pallas_call" in jaxpr
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+
+def test_fusion_composes_with_dp_mesh():
+    """Kernel x sharding: a DP train step over the 8-device virtual CPU
+    mesh with the megakernel enabled (interpret) must reproduce the
+    unfused mesh step's loss (round-2 verdict item 9)."""
+    import optax
+    from moleculediffusiontransformer_tpu.models import QMDiffusion
+    from moleculediffusiontransformer_tpu.parallel import (make_mesh,
+                                                           replicate,
+                                                           shard_batch)
+    from moleculediffusiontransformer_tpu.train import (
+        TrainState, make_diffusion_train_step)
+    assert len(jax.devices("cpu")) >= 8
+    model = QMDiffusion(
+        max_length=16, channels=32, pred_dim=8, text_embed_dim=16,
+        embed_dim_position=16, context_embedding_max_length=12,
+        multipliers=(1, 2), factors=(2,), num_blocks=(1,),
+        attentions=(1,), attention_heads=2, attention_features=16,
+        pre_transformer=1, patch_size=1)
+    key = jax.random.PRNGKey(0)
+    rng = np.random.RandomState(3)
+    cond = rng.randn(8, 12).astype(np.float32)
+    target = rng.randn(8, 16, 8).astype(np.float32)
+    with jax.default_device(CPU):
+        v = jax.jit(model.init)(key, jnp.asarray(cond[:2]),
+                                jnp.asarray(target[:2]), key)
+        tx = optax.sgd(1e-3)
+        mesh = make_mesh(8, backend="cpu")
+        cond_s, target_s = shard_batch(mesh, (cond, target))
+        key_s = replicate(mesh, key)
+
+        losses, params = [], []
+        for use_fused in (False, True):
+            state = replicate(mesh, TrainState.create(v["params"], tx))
+            step = make_diffusion_train_step(model, tx, donate=False)
+            try:
+                tf._INTERPRET = use_fused
+                with tf.fused(use_fused):
+                    state, loss = step(state, cond_s, target_s, key_s)
+            finally:
+                tf._INTERPRET = False
+            losses.append(float(loss))
+            params.append(state.params)
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(params[0]),
+                        jax.tree_util.tree_leaves(params[1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
 
 
 # ------------------------------------------------ fused resnet stacks ------

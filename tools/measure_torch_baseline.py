@@ -62,7 +62,9 @@ def _load_reference():
 
 def build_model(ref, pred_dim=16, max_length=64, channels=64):
     """Reference QMDiffusion assembly (`generative.py:718-830`, 'cfg'
-    branch) at the bench architecture."""
+    branch).  Defaults = the bench architecture; ``--flagship`` switches to
+    the Inverse_Diffusion notebook preset (pred_dim=22, max_length=32,
+    channels=128 — 90,965,554 params)."""
     import torch.nn as nn
     md, mm, tr = ref.diffusion, ref.modules, ref.transformer
 
@@ -98,13 +100,20 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=64)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--flagship", action="store_true",
+                    help="measure the 91M Inverse_Diffusion preset instead "
+                         "of the bench architecture")
     args = ap.parse_args()
 
     import torch
     torch.manual_seed(0)
     ref = _load_reference()
     md = ref.diffusion
-    model = build_model(ref)
+    if args.flagship:
+        model = build_model(ref, pred_dim=22, max_length=32, channels=128)
+    else:
+        model = build_model(ref)
+    tag = "torch_cpu_flagship" if args.flagship else "torch_cpu"
     n_params = sum(p.numel() for p in model.parameters())
 
     props = torch.rand(args.batch, 12) * 2 - 1
@@ -130,7 +139,7 @@ def main():
     dt = (time.perf_counter() - t0) / args.reps
     mol_per_s = args.batch / dt
     print(json.dumps({
-        "metric": "torch_cpu_cfg64_sampling", "value": round(mol_per_s, 4),
+        "metric": f"{tag}_cfg64_sampling", "value": round(mol_per_s, 4),
         "unit": "molecules/s", "batch": args.batch, "num_steps": args.steps,
         "params": n_params, "torch": torch.__version__}))
 
@@ -152,7 +161,7 @@ def main():
         train_step()
     dt = (time.perf_counter() - t0) / args.reps
     print(json.dumps({
-        "metric": "torch_cpu_train_step", "value": round(args.batch / dt, 4),
+        "metric": f"{tag}_train_step", "value": round(args.batch / dt, 4),
         "unit": "samples/s", "batch": args.batch, "params": n_params,
         "torch": torch.__version__}))
 
