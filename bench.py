@@ -1,9 +1,11 @@
 """North-star benchmarks on the inverse QM diffusion model
 (BASELINE.json configs[0]: cfg UNet channels=64, pred_dim=16, max_length=64
-— the README "basic setup").  Two JSON lines:
+— the README "basic setup").  Three JSON lines:
 
   1. 64-step CFG ADPM2 sampling throughput (molecules/s) — the headline;
-  2. train-step throughput (samples/s) — the second BASELINE metric.
+  2. train-step throughput (samples/s) — the second BASELINE metric;
+  3. the same sampling metric on the 91M Inverse_Diffusion flagship preset
+     (vs `tools/measure_torch_baseline.py --flagship`).
 
 Baselines: the PyTorch reference on this machine's CPU at the identical
 architecture/sampler/steps, measured by `tools/measure_torch_baseline.py`
@@ -26,9 +28,12 @@ import jax.numpy as jnp
 # `python tools/measure_torch_baseline.py` (see module docstring).
 TORCH_CPU_MOL_PER_S = 0.4179            # sampling, molecules/s, batch 16
 TORCH_CPU_TRAIN_SAMPLES_PER_S = 21.203  # train step, samples/s, batch 16
+# `--flagship` run (91M Inverse_Diffusion preset), 2026-08-17:
+TORCH_CPU_FLAGSHIP_MOL_PER_S = 0.2885   # sampling, molecules/s, batch 16
 
 BATCH = 256
 NUM_STEPS = 64
+FLAGSHIP_BATCH = 256
 # the reference trains at batch 1024 (Inverse_Diffusion nb cell 64); the
 # bench model fits it on one chip (the 91M flagship's envelope is 512,
 # PERF.md) and throughput saturates there: 11.8k / 15.2k / 15.6k
@@ -81,6 +86,47 @@ def bench_sampling(model, variables):
         "value": round(mol_per_s, 3),
         "unit": "molecules/s",
         "vs_baseline": round(mol_per_s / TORCH_CPU_MOL_PER_S, 1),
+    }))
+
+
+def _flagship_model():
+    """The 91M Inverse_Diffusion notebook preset (bf16 compute) — headline
+    perf at the paper's production scale, not only the ch-64 basic setup."""
+    from moleculediffusiontransformer_tpu.models import QMDiffusion
+    return QMDiffusion(
+        max_length=32, channels=128, pred_dim=22, text_embed_dim=64,
+        embed_dim_position=64, context_embedding_max_length=12,
+        multipliers=(1, 2, 4), factors=(4, 4), num_blocks=(3, 3),
+        attentions=(4, 4), attention_heads=8, attention_features=64,
+        attention_multiplier=2, pre_transformer=2, patch_size=1,
+        dtype=jnp.bfloat16)
+
+
+def bench_flagship_sampling():
+    from moleculediffusiontransformer_tpu.models import sample
+    model = _flagship_model()
+    key = jax.random.PRNGKey(0)
+    props = jax.random.uniform(key, (FLAGSHIP_BATCH, 12), minval=-1.0,
+                               maxval=1.0)
+    target = jnp.zeros((2, model.max_length, model.pred_dim))
+    variables = jax.jit(model.init)(key, props[:2], target, key)
+
+    def run(k):
+        return sample(model, variables, props, k, num_steps=NUM_STEPS,
+                      cond_scale=2.0)
+
+    _sync(run(jax.random.PRNGKey(1)))  # warmup/compile
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _sync(run(jax.random.PRNGKey(2 + i)))
+    dt = (time.perf_counter() - t0) / reps
+    mol_per_s = FLAGSHIP_BATCH / dt
+    print(json.dumps({
+        "metric": "inverse_qm_diffusion_flagship91M_cfg64_sampling",
+        "value": round(mol_per_s, 3),
+        "unit": "molecules/s",
+        "vs_baseline": round(mol_per_s / TORCH_CPU_FLAGSHIP_MOL_PER_S, 1),
     }))
 
 
@@ -143,6 +189,7 @@ def main():
     with transformer_fusion.fused(True):
         bench_sampling(model, variables)
         bench_train(model, variables)
+        bench_flagship_sampling()
 
 
 if __name__ == "__main__":

@@ -889,26 +889,30 @@ def generate_gpt_mha(model, variables, start_ids, key, *,
                      use_gumbel_sample: bool = True) -> jax.Array:
     """Fixed-shape generation for the MHA-based GPT (full-prefix forward
     per token over a masked static buffer — the fused-QKV MHA has no
-    per-position cache; the cached path is ``generate_gpt``)."""
+    per-position cache; the cached path is ``generate_gpt``).  The whole
+    decode is ONE jitted ``lax.scan`` over positions (zero host
+    round-trips), each step a full forward on the static buffer."""
     b, t0 = start_ids.shape
     total = t0 + tokens_to_generate
-    ids = jnp.zeros((b, total), start_ids.dtype)
-    ids = jax.lax.dynamic_update_slice(ids, start_ids, (0, 0))
+    ids0 = jnp.zeros((b, total), start_ids.dtype)
+    ids0 = jax.lax.dynamic_update_slice(ids0, start_ids, (0, 0))
 
     @jax.jit
-    def step(ids, pos, k):
-        logits = model.apply(variables, ids)
-        logits_t = jax.vmap(lambda l, p: l[p])(logits,
-                                               jnp.full((b,), pos))
-        if use_gumbel_sample:
-            sampled = gumbel_sample(k, top_k_filter(logits_t, filter_thres),
-                                    temperature)
-        else:
-            sampled = jnp.argmax(logits_t, axis=-1)
-        return jax.lax.dynamic_update_index_in_dim(
-            ids, sampled.astype(ids.dtype), pos + 1, axis=1)
+    def decode(ids, keys):
+        def step(ids, pk):
+            pos, k = pk
+            logits = model.apply(variables, ids)
+            logits_t = jax.vmap(lambda l, p: l[p])(logits,
+                                                   jnp.full((b,), pos))
+            if use_gumbel_sample:
+                sampled = gumbel_sample(
+                    k, top_k_filter(logits_t, filter_thres), temperature)
+            else:
+                sampled = jnp.argmax(logits_t, axis=-1)
+            return jax.lax.dynamic_update_index_in_dim(
+                ids, sampled.astype(ids.dtype), pos + 1, axis=1), None
 
-    for pos in range(t0 - 1, total - 1):
-        key, k = jax.random.split(key)
-        ids = step(ids, pos, k)
-    return ids
+        positions = jnp.arange(t0 - 1, total - 1)
+        return jax.lax.scan(step, ids, (positions, keys))[0]
+
+    return decode(ids0, jax.random.split(key, total - t0))

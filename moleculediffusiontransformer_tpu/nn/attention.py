@@ -253,13 +253,30 @@ class Transformer1d(nn.Module):
         if (tf.fusion_enabled() and not self.disable_fusion
                 and not self.is_initializing()
                 and tf.fusable(x, context, self.use_rel_pos,
-                               self.context_features, dtype=self.dtype)):
-            return tf.transformer1d_fused(
-                self.variables["params"], x,
-                None if not self.context_features else context,
-                num_layers=self.num_layers, heads=self.num_heads,
-                head_dim=self.head_features, multiplier=self.multiplier,
-                context_features=self.context_features)
+                               self.context_features, dtype=self.dtype,
+                               num_layers=self.num_layers,
+                               heads=self.num_heads,
+                               head_dim=self.head_features,
+                               multiplier=self.multiplier)):
+            ctx = None if not self.context_features else context
+            kw = dict(num_layers=self.num_layers, heads=self.num_heads,
+                      head_dim=self.head_features,
+                      multiplier=self.multiplier,
+                      context_features=self.context_features)
+            if (ctx is not None and tf.cfg_null_half_active()
+                    and x.shape[0] % 2 == 0 and x.shape[0] >= 2):
+                # batched CFG: [conditioned; null] halves, and the null
+                # half's context is one shared FixedEmbedding table —
+                # run it through the dense shared-KV kernel variant
+                b2 = x.shape[0] // 2
+                out_c = tf.transformer1d_fused(
+                    self.variables["params"], x[:b2], ctx[:b2], **kw)
+                out_n = tf.transformer1d_fused(
+                    self.variables["params"], x[b2:], ctx[b2:b2 + 1],
+                    uniform_ctx=True, **kw)
+                return jnp.concatenate([out_c, out_n], axis=0)
+            return tf.transformer1d_fused(self.variables["params"], x, ctx,
+                                          **kw)
         x = GroupNorm(32, eps=1e-6, dtype=self.dtype, name="to_in_0")(x)
         x = Conv1d(self.channels, kernel_size=1, padding=0, dtype=self.dtype,
                    name="to_in_1")(x)

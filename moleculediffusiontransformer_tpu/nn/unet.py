@@ -479,7 +479,11 @@ def cfg_forward(unet_apply, x: jax.Array, time: jax.Array,
             kwargs2[k] = jnp.concatenate([v, v], axis=0)
         else:
             kwargs2[k] = v
-    out2 = unet_apply(x2, t2, embedding=e2, **kwargs2)
+    from ..ops import transformer_fusion as _tf
+    # the null half's context rows are ONE FixedEmbedding table — flag the
+    # fused Transformer1d to run that half with a shared dense KV (exact)
+    with _tf.cfg_uniform_null_half(True):
+        out2 = unet_apply(x2, t2, embedding=e2, **kwargs2)
     out, out_masked = out2[:b], out2[b:]
     return out_masked + (out - out_masked) * embedding_scale
 

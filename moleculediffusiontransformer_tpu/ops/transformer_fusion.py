@@ -95,6 +95,31 @@ def fused(on: bool = True):
         _ENABLED = prev
 
 
+# The batched-CFG path (nn/unet.py::cfg_forward) doubles the batch as
+# [conditioned; null], and the null half's cross-attention context is the
+# SAME FixedEmbedding table for every element (reference modules.py:
+# 1224-1226).  While this flag is active (set by cfg_forward during its
+# doubled-batch trace), the fused Transformer1d splits the batch and runs
+# the null half with ONE shared (ctx_len, C) KV — a dense (rows x ctx_len)
+# attention with no block-diagonal packing waste.  Exact same math.
+_CFG_NULL_UNIFORM = False
+
+
+@contextlib.contextmanager
+def cfg_uniform_null_half(on: bool = True):
+    global _CFG_NULL_UNIFORM
+    prev = _CFG_NULL_UNIFORM
+    _CFG_NULL_UNIFORM = on
+    try:
+        yield
+    finally:
+        _CFG_NULL_UNIFORM = prev
+
+
+def cfg_null_half_active() -> bool:
+    return _CFG_NULL_UNIFORM
+
+
 # --------------------------------------------------------------------------
 # weight flattening (order is the kernel ABI)
 # --------------------------------------------------------------------------
@@ -235,7 +260,8 @@ def _erf(x: jax.Array) -> jax.Array:
 
 def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
             cross: bool, p: int, length: int,
-            ctx_len: int, load_once: bool, dtype, stash: bool = False):
+            ctx_len: int, load_once: bool, dtype, stash: bool = False,
+            uniform_ctx: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -294,7 +320,12 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
     g_self = _chunk_g(length)
     self_mask = (_blk_ids((g_self * length, g_self * length), 0, length)
                  == _blk_ids((g_self * length, g_self * length), 1, length))
-    if cross:
+    if cross and uniform_ctx:
+        # one shared context row-block for the whole (null) half: dense
+        # (rows x ctx_len) attention, no packing masks at all
+        ctx = ctx_ref[:].reshape(ctx_len, ctx_ref.shape[-1])
+        g_cross = cross_mask = None
+    elif cross:
         ctx = ctx_ref[:].reshape(p * ctx_len, ctx_ref.shape[-1])
         g_cross = _chunk_g(ctx_len)
         cross_mask = (_blk_ids((g_cross * length, g_cross * ctx_len), 0,
@@ -376,6 +407,35 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
              else jnp.concatenate(chunk_outs, axis=0)).astype(dtype)
         return (_dot32(o, wout) + bout.astype(jnp.float32)).astype(dtype)
 
+    def attention_shared_kv(y, ctx2d, wq, wkv, wout, bout,
+                            nscale, nbias, cscale, cbias):
+        """Cross attention against ONE shared (ctx_len, C) context: the
+        CFG null half's FixedEmbedding is batch-identical, so all rows may
+        attend one dense KV — no block-diagonal tiles, ctx_len kv columns
+        instead of g*ctx_len (EXACTLY the same values per row)."""
+        if "attn" in _ABLATE or "cross" in _ABLATE:
+            return y
+        q_in = _layer_norm(y.astype(jnp.float32), nscale, nbias
+                           ).astype(dtype)
+        kv_in = _layer_norm(ctx2d.astype(jnp.float32), cscale, cbias
+                            ).astype(dtype)
+        q = _dot32(q_in, wq).astype(dtype)                   # (R, I)
+        kvp = _dot32(kv_in, wkv).astype(dtype)               # (M, 2I)
+        outs = []
+        for h in range(heads):
+            qh = q[:, h * head_dim:(h + 1) * head_dim]
+            kh = kvp[:, h * head_dim:(h + 1) * head_dim]
+            vh = kvp[:, inner + h * head_dim:inner + (h + 1) * head_dim]
+            sim = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (R, M)
+            m = jnp.max(sim, axis=-1, keepdims=True)
+            e = jnp.exp(sim - m)
+            att = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(_dot32(att.astype(dtype), vh))
+        o = jnp.concatenate(outs, axis=-1).astype(dtype)
+        return (_dot32(o, wout) + bout.astype(jnp.float32)).astype(dtype)
+
     # activation stash for the fused BACKWARD: each residual sub-block's
     # input, in processing order, + the conv-out input (see _bwd_* below)
     si = [0]
@@ -393,7 +453,10 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
         if cross:
             ns, nb, cs, cb, wq, wkv, wout, bout = (w() for _ in range(8))
             put_stash(y)                               # cross-attn input
-            if "cross" not in _ABLATE:
+            if uniform_ctx:
+                y = attention_shared_kv(y, ctx, wq, wkv, wout, bout,
+                                        ns, nb, cs, cb) + y
+            elif "cross" not in _ABLATE:
                 y = attention(y, ctx, ctx_len, g_cross, cross_mask, wq, wkv,
                               wout, bout, ns, nb, cs, cb) + y
         w0, b0, w2, b2 = w(), w(), w(), w()
@@ -437,10 +500,52 @@ def n_stash_slots(num_layers: int, cross: bool) -> int:
     return num_layers * (3 if cross else 2) + 1
 
 
+# v5e has 128 MB of physical VMEM; Mosaic's DEFAULT scoped budget is 16 MB,
+# which the C=512 UNet stage's weight banks alone exceed (~22 MB — measured:
+# the 91M flagship OOMs scoped vmem at stage downsamples_1).  Kernels whose
+# estimated footprint exceeds the default ask for a raised limit; configs
+# that would not fit even the raised cap fall back to XLA via `fusable`.
+_VMEM_DEFAULT_BYTES = 16 * 1024 * 1024
+_VMEM_CAP_BYTES = 100 * 1024 * 1024
+
+
+def _weight_bank_bytes(c: int, inner: int, ctx_c: int, num_layers: int,
+                       multiplier: int, itemsize: int) -> int:
+    """Bytes of matmul weights resident in VMEM scratch (compute dtype);
+    mirrors `_abi_paths` (norm vectors are negligible)."""
+    per_layer = c * inner + c * 2 * inner + inner * c      # self q, kv, out
+    if ctx_c:
+        per_layer += c * inner + ctx_c * 2 * inner + inner * c
+    per_layer += 2 * c * (multiplier * c)                  # ff in + out
+    return itemsize * (2 * c * c + num_layers * per_layer)
+
+
+def _fwd_vmem_estimate(bank_bytes: int, p: int, length: int, c: int,
+                       ctx_block_rows: int, ctx_c: int, stash_slots: int,
+                       itemsize: int) -> int:
+    rows = p * length
+    blocks = 2 * (2 * rows * c) * itemsize                 # in+out, dbl-buf
+    blocks += 2 * ctx_block_rows * ctx_c * itemsize
+    blocks += 2 * stash_slots * rows * c * itemsize
+    working = 8 * rows * c * 4                             # fp32 temporaries
+    return bank_bytes + blocks + working + (2 << 20)
+
+
+def _compiler_params(pltpu, interpret: bool, est_bytes: int) -> dict:
+    """Raise the scoped-VMEM budget only when the estimate needs it, so
+    small geometries keep the exact round-2 compilation behavior."""
+    if interpret or est_bytes <= _VMEM_DEFAULT_BYTES * 3 // 4:
+        return {}
+    limit = min(_VMEM_CAP_BYTES, max(32 * 1024 * 1024, est_bytes * 5 // 4))
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=limit)}
+
+
 def _fused_forward(ws: List[jax.Array], x: jax.Array,
                    context: Optional[jax.Array], *, num_layers: int,
                    heads: int, head_dim: int, multiplier: int,
-                   interpret: bool = False, with_stash: bool = False):
+                   interpret: bool = False, with_stash: bool = False,
+                   uniform_ctx: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -453,7 +558,13 @@ def _fused_forward(ws: List[jax.Array], x: jax.Array,
     in_specs = [pl.BlockSpec((p, length, c), lambda i: (i, 0, 0), **ms)]
     operands: List[jax.Array] = [x]
     ctx_len = 0
-    if cross:
+    if cross and uniform_ctx:
+        assert context.shape[0] == 1, context.shape
+        ctx_len = context.shape[1]
+        in_specs.append(pl.BlockSpec(
+            (1, ctx_len, context.shape[-1]), lambda i: (0, 0, 0), **ms))
+        operands.append(context.astype(x.dtype))
+    elif cross:
         ctx_len = context.shape[1]
         in_specs.append(pl.BlockSpec(
             (p, ctx_len, context.shape[-1]), lambda i: (i, 0, 0), **ms))
@@ -474,7 +585,8 @@ def _fused_forward(ws: List[jax.Array], x: jax.Array,
         _kernel_entry, plan=tuple(plan), num_layers=num_layers, heads=heads,
         head_dim=head_dim, cross=cross, p=p,
         length=length, ctx_len=ctx_len,
-        load_once=load_once, dtype=x.dtype, stash=with_stash)
+        load_once=load_once, dtype=x.dtype, stash=with_stash,
+        uniform_ctx=uniform_ctx)
 
     out_specs = pl.BlockSpec((p, length, c), lambda i: (i, 0, 0), **ms)
     out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
@@ -488,6 +600,13 @@ def _fused_forward(ws: List[jax.Array], x: jax.Array,
     flops = 2 * b * length * c * (
         num_layers * (3 * c + 4 * heads * head_dim
                       + 2 * multiplier * c) + 2 * c)
+    bank_bytes = sum(int(w.size) * w.dtype.itemsize for w in banks)
+    est = _fwd_vmem_estimate(
+        bank_bytes, p, length, c,
+        (ctx_len if uniform_ctx else p * ctx_len) if cross else 0,
+        context.shape[-1] if cross else 0,
+        n_stash_slots(num_layers, cross) if with_stash else 0,
+        x.dtype.itemsize)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -499,6 +618,7 @@ def _fused_forward(ws: List[jax.Array], x: jax.Array,
             flops=flops, bytes_accessed=x.size * 2 * x.dtype.itemsize,
             transcendentals=b * length * c * multiplier * num_layers),
         interpret=interpret,
+        **_compiler_params(pltpu, interpret, est),
     )(*operands)
 
 
@@ -953,6 +1073,12 @@ def _bwd_layer(dy: jax.Array, a_in: jax.Array, c_in: Optional[jax.Array],
         _bwd_layer_entry, plan=tuple(plan), heads=heads, head_dim=head_dim,
         cross=cross, p=p, length=length, ctx_len=ctx_len, c=c, ctx_c=ctx_c,
         load_once=load_once, dtype=dy.dtype)
+    bank_elems = sum(int(w.size) for w in banks)
+    est = (bank_elems * dy.dtype.itemsize      # weights in VMEM scratch
+           + 2 * bank_elems * 4                # fp32 grad banks (dbl-buf)
+           + 2 * (4 + 2 * (2 if cross else 0))
+           * p * max(length, ctx_len) * max(c, ctx_c) * dy.dtype.itemsize
+           + 10 * p * length * c * 4 + (2 << 20))
     outs = pl.pallas_call(
         kernel,
         grid=(b // p,),
@@ -961,6 +1087,7 @@ def _bwd_layer(dy: jax.Array, a_in: jax.Array, c_in: Optional[jax.Array],
         out_shape=tuple(out_shape),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
+        **_compiler_params(pltpu, interpret, est),
     )(*operands)
     dy_prev = outs[0]
     dctx = outs[1] if cross else None
@@ -1016,17 +1143,25 @@ def transformer1d_fused(tree: Dict[str, Any], x: jax.Array,
                         context: Optional[jax.Array], *, num_layers: int,
                         heads: int, head_dim: int, multiplier: int,
                         context_features: Optional[int],
-                        interpret: Optional[bool] = None) -> jax.Array:
+                        interpret: Optional[bool] = None,
+                        uniform_ctx: bool = False) -> jax.Array:
     """Run a Transformer1d stack as ONE Pallas program.
 
     ``tree`` is the module's own param subtree (``self.variables['params']``
     from inside the flax module) — identical layout to the slow path, so
     checkpoints and torch imports are untouched.
+
+    ``uniform_ctx=True``: ``context`` is (1, ctx_len, C) shared by every
+    batch element (the CFG null half) — cross attention runs as one dense
+    shared-KV product.  Backward falls back to the legacy slow-path
+    autodiff (the production sampler never differentiates this variant);
+    its d(context) is the broadcast-summed cotangent, matching the
+    broadcast the caller performs.
     """
     if interpret is None:
         interpret = _INTERPRET
 
-    fused_bwd = _FUSED_BWD
+    fused_bwd = _FUSED_BWD and not uniform_ctx
 
     def slow(tree, x, context):
         from ..nn.attention import Transformer1d
@@ -1037,6 +1172,9 @@ def transformer1d_fused(tree: Dict[str, Any], x: jax.Array,
             disable_fusion=True)
         if context is None:
             return mod.apply({"params": tree}, x)
+        if uniform_ctx:
+            context = jnp.broadcast_to(
+                context, (x.shape[0],) + context.shape[1:])
         return mod.apply({"params": tree}, x, context)
 
     @jax.custom_vjp
@@ -1044,7 +1182,8 @@ def transformer1d_fused(tree: Dict[str, Any], x: jax.Array,
         ws = flatten_params(tree, num_layers, context is not None)
         return _fused_forward(ws, x, context, num_layers=num_layers,
                               heads=heads, head_dim=head_dim,
-                              multiplier=multiplier, interpret=interpret)
+                              multiplier=multiplier, interpret=interpret,
+                              uniform_ctx=uniform_ctx)
 
     def fwd(tree, x, context):
         if not fused_bwd:
@@ -1077,7 +1216,9 @@ def transformer1d_fused(tree: Dict[str, Any], x: jax.Array,
 
 def fusable(x: jax.Array, context: Optional[jax.Array],
             use_rel_pos: bool, context_features: Optional[int],
-            dtype=None) -> bool:
+            dtype=None, num_layers: Optional[int] = None,
+            heads: Optional[int] = None, head_dim: Optional[int] = None,
+            multiplier: Optional[int] = None) -> bool:
     """Static shape/feature gate for the fused path."""
     if use_rel_pos:
         return False
@@ -1094,4 +1235,14 @@ def fusable(x: jax.Array, context: Optional[jax.Array],
     has_cross = context_features is not None and context_features > 0
     if has_cross != (context is not None):
         return False
+    if num_layers is not None:
+        # VMEM budget: the weight banks must fit the raised scoped cap
+        # even at the smallest pack (plus the fp32 working set); configs
+        # beyond it would OOM the Mosaic compile — use XLA instead.
+        bank = _weight_bank_bytes(
+            c, (heads or 8) * (head_dim or 64),
+            context.shape[-1] if has_cross else 0, num_layers,
+            multiplier or 2, x.dtype.itemsize)
+        if bank + (8 << 20) > _VMEM_CAP_BYTES:
+            return False
     return True

@@ -145,6 +145,38 @@ def test_fusable_gate():
     assert not tf.fusable(x, ctx, use_rel_pos=False, context_features=None)
 
 
+def test_vmem_budget_planning():
+    """The flagship's C=512 stage exceeds Mosaic's default 16 MB scoped
+    VMEM (measured: compile OOM at downsamples_1) — the plan must raise
+    the limit for it, keep small geometries on the default, and reject
+    configs beyond the 100 MB cap entirely."""
+    # bench geometry (C=128): well under the default — no override
+    small = tf._weight_bank_bytes(128, 512, 128, 4, 2, 2)
+    est_small = tf._fwd_vmem_estimate(small, 16, 16, 128, 16 * 12, 128, 0, 2)
+    assert est_small < tf._VMEM_DEFAULT_BYTES * 3 // 4
+    from jax.experimental.pallas import tpu as pltpu
+    assert tf._compiler_params(pltpu, False, est_small) == {}
+    # flagship C=512 stage: banks alone > 16 MB -> raised limit
+    big = tf._weight_bank_bytes(512, 512, 128, 4, 2, 2)
+    assert big > tf._VMEM_DEFAULT_BYTES
+    cp = tf._compiler_params(
+        pltpu, False, tf._fwd_vmem_estimate(big, 32, 2, 512, 12, 128, 0, 2))
+    lim = cp["compiler_params"].vmem_limit_bytes
+    assert tf._VMEM_DEFAULT_BYTES < lim <= tf._VMEM_CAP_BYTES
+    # interpret mode never sets compiler params
+    assert tf._compiler_params(pltpu, True, 10 * big) == {}
+    # a config whose weights cannot fit even the cap is not fusable
+    x = jnp.zeros((4, 16, 2048), jnp.bfloat16)
+    assert not tf.fusable(x, None, use_rel_pos=False, context_features=None,
+                          num_layers=16, heads=8, head_dim=256,
+                          multiplier=4)
+    # the flagship stage IS fusable (fits the raised cap)
+    xf = jnp.zeros((512, 2, 512), jnp.bfloat16)
+    ctxf = jnp.zeros((512, 12, 128), jnp.bfloat16)
+    assert tf.fusable(xf, ctxf, use_rel_pos=False, context_features=128,
+                      num_layers=4, heads=8, head_dim=64, multiplier=2)
+
+
 def test_training_step_with_fusion_enabled():
     """A full QMDiffusion train step with the fused path enabled must run
     and produce a loss close to the slow path (same params, same key)."""
@@ -243,6 +275,68 @@ def test_production_sampling_path_uses_kernel():
         assert "pallas_call" in jaxpr
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
+
+
+def test_cfg_null_half_shared_kv_exact():
+    """The shared-KV null-half variant (round-2 verdict item 3): with the
+    cfg_uniform_null_half flag active and a batch whose second half shares
+    ONE context table, the fused dispatch must split the batch, run the
+    null half through the dense shared-KV kernel, and still be output-
+    equal to the slow composition."""
+    with jax.default_device(CPU):
+        mod = _make(True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 64))
+        ctx_cond = jax.random.normal(jax.random.PRNGKey(1), (4, 12, 64))
+        null_row = jax.random.normal(jax.random.PRNGKey(2), (1, 12, 64))
+        ctx = jnp.concatenate(
+            [ctx_cond, jnp.broadcast_to(null_row, (4, 12, 64))], axis=0)
+        v = mod.init(jax.random.PRNGKey(3), x, ctx)
+        ref = mod.apply(v, x, ctx)
+
+        try:
+            tf._INTERPRET = True
+            with tf.fused(True), tf.cfg_uniform_null_half(True):
+                out = mod.apply(v, x, ctx)
+                jaxpr = str(jax.make_jaxpr(
+                    lambda p, a, c: mod.apply({"params": p}, a, c))(
+                        v["params"], x, ctx))
+        finally:
+            tf._INTERPRET = False
+        # two kernel launches: the conditioned half + the shared-KV half
+        assert jaxpr.count("pallas_call") >= 2
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+        # direct: the uniform variant == slow with broadcast context
+        out_u = tf.transformer1d_fused(
+            v["params"], x[4:], null_row, num_layers=2, heads=4,
+            head_dim=16, multiplier=2, context_features=64,
+            interpret=True, uniform_ctx=True)
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref[4:]),
+                                   atol=2e-5)
+
+        # the uniform variant stays differentiable (legacy backward):
+        # d(context) is the broadcast-summed cotangent
+        def loss_u(params, xx, cc):
+            o = tf.transformer1d_fused(
+                params, xx, cc, num_layers=2, heads=4, head_dim=16,
+                multiplier=2, context_features=64, interpret=True,
+                uniform_ctx=True)
+            return jnp.sum(o ** 2)
+
+        def loss_s(params, xx, cc):
+            o = mod.apply({"params": params}, xx,
+                          jnp.broadcast_to(cc, (4, 12, 64)))
+            return jnp.sum(o ** 2)
+
+        gu = jax.grad(loss_u, argnums=(0, 1, 2))(v["params"], x[4:],
+                                                 null_row)
+        gs = jax.grad(loss_s, argnums=(0, 1, 2))(v["params"], x[4:],
+                                                 null_row)
+        for a, b in zip(jax.tree_util.tree_leaves(gu),
+                        jax.tree_util.tree_leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
 
 
 def test_fusion_composes_with_dp_mesh():
