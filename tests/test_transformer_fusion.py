@@ -502,3 +502,27 @@ def test_fused_compiled_on_tpu_matches_bf16_composition():
                               - ref.astype(jnp.float32))))
     scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
     assert d / scale < 0.05, (d, scale)
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
+def test_fused_compiled_on_tpu_c512_raised_vmem():
+    """The flagship's C=512 stage: its ~22 MB weight banks exceed Mosaic's
+    default 16 MB scoped VMEM — this geometry only compiles through the
+    raised `vmem_limit_bytes` plan (regression test for the flagship
+    compile OOM)."""
+    mod = Transformer1d(num_layers=4, channels=512, num_heads=8,
+                        head_features=64, multiplier=2,
+                        context_features=128, dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 2, 512), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (8, 12, 128),
+                            jnp.bfloat16)
+    v = jax.jit(mod.init)(key, x, ctx)
+    ref = jax.jit(lambda: mod.apply(v, x, ctx))()
+    out = jax.jit(lambda: tf.transformer1d_fused(
+        v["params"], x, ctx, num_layers=4, heads=8, head_dim=64,
+        multiplier=2, context_features=128, interpret=False))()
+    d = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                              - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
+    assert d / scale < 0.05, (d, scale)
