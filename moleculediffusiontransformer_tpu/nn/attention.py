@@ -267,13 +267,24 @@ class Transformer1d(nn.Module):
                     and x.shape[0] % 2 == 0 and x.shape[0] >= 2):
                 # batched CFG: [conditioned; null] halves, and the null
                 # half's context is one shared FixedEmbedding table —
-                # run it through the dense shared-KV kernel variant
+                # run it through the dense shared-KV kernel variant.
+                # The uniformity is VERIFIED at runtime (the flag is a
+                # process-global set by cfg_forward; a future caller whose
+                # null half is NOT batch-uniform must get the exact packed
+                # path, not silently wrong outputs).  The fallback branch
+                # reuses the conditioned half's program shape, so the
+                # lax.cond costs no extra kernel compile.
+                params = self.variables["params"]
                 b2 = x.shape[0] // 2
-                out_c = tf.transformer1d_fused(
-                    self.variables["params"], x[:b2], ctx[:b2], **kw)
-                out_n = tf.transformer1d_fused(
-                    self.variables["params"], x[b2:], ctx[b2:b2 + 1],
-                    uniform_ctx=True, **kw)
+                x_n, ctx_n = x[b2:], ctx[b2:]
+                out_c = tf.transformer1d_fused(params, x[:b2], ctx[:b2],
+                                               **kw)
+                out_n = jax.lax.cond(
+                    jnp.all(ctx_n == ctx_n[:1]),
+                    lambda: tf.transformer1d_fused(
+                        params, x_n, ctx_n[:1], uniform_ctx=True, **kw),
+                    lambda: tf.transformer1d_fused(params, x_n, ctx_n,
+                                                   **kw))
                 return jnp.concatenate([out_c, out_n], axis=0)
             return tf.transformer1d_fused(self.variables["params"], x, ctx,
                                           **kw)

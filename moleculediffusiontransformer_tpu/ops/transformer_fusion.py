@@ -66,12 +66,14 @@ def enable_fusion(on: bool = True) -> None:
 def _auto_default() -> bool:
     """Lazy production default: fuse on TPU backends unless MDT_FUSION
     says otherwise.  Evaluated at TRACE time (never at import), so it
-    cannot initialize the backend before ``jax.distributed`` setup."""
+    cannot initialize the backend before ``jax.distributed`` setup.
+    An EMPTY MDT_FUSION value counts as unset (conventional shell
+    semantics), not as force-off."""
     global _AUTO
     if _AUTO is None:
         env = os.environ.get("MDT_FUSION")
-        if env is not None:
-            _AUTO = env.strip().lower() not in ("0", "false", "off", "")
+        if env is not None and env.strip():
+            _AUTO = env.strip().lower() not in ("0", "false", "off")
         else:
             try:
                 _AUTO = jax.default_backend() == "tpu"
@@ -81,7 +83,23 @@ def _auto_default() -> bool:
 
 
 def fusion_enabled() -> bool:
-    return _ENABLED if _ENABLED is not None else _auto_default()
+    if _ENABLED is not None:
+        return _ENABLED
+    if not _auto_default():
+        return False
+    # honor an active `jax.default_device(...)` override: compiled Mosaic
+    # kernels only run on TPU — a CPU-pinned trace (the documented numerics
+    # debugging idiom) must take the slow composition, not die in lowering
+    try:
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            platform = dd if isinstance(dd, str) else getattr(
+                dd, "platform", "tpu")
+            if not platform.startswith("tpu"):
+                return False
+    except Exception:  # pragma: no cover - config shape changes
+        pass
+    return True
 
 
 @contextlib.contextmanager
@@ -101,8 +119,29 @@ def fused(on: bool = True):
 # 1224-1226).  While this flag is active (set by cfg_forward during its
 # doubled-batch trace), the fused Transformer1d splits the batch and runs
 # the null half with ONE shared (ctx_len, C) KV — a dense (rows x ctx_len)
-# attention with no block-diagonal packing waste.  Exact same math.
+# attention with no block-diagonal packing waste.  Exact same math, and
+# the dispatch VERIFIES uniformity at runtime (lax.cond fallback).
+#
+# OFF BY DEFAULT (PERF.md round 3): at the QM models' ctx_len=12 the
+# packed path's block-diagonal waste was already negligible — shared-KV
+# measured NEUTRAL, and the runtime uniformity check costs ~3% of
+# sampling throughput.  Opt in with MDT_CFG_SHAREDKV=1 (or
+# ``enable_sharedkv``) for long-context cross attention (64-256-token
+# text embeddings), where the dense variant's advantage scales.
 _CFG_NULL_UNIFORM = False
+_SHAREDKV: Optional[bool] = None    # None = env MDT_CFG_SHAREDKV (default 0)
+
+
+def enable_sharedkv(on: bool = True) -> None:
+    global _SHAREDKV
+    _SHAREDKV = on
+
+
+def _sharedkv_opt_in() -> bool:
+    if _SHAREDKV is not None:
+        return _SHAREDKV
+    env = os.environ.get("MDT_CFG_SHAREDKV", "")
+    return env.strip().lower() in ("1", "true", "on")
 
 
 @contextlib.contextmanager
@@ -117,7 +156,7 @@ def cfg_uniform_null_half(on: bool = True):
 
 
 def cfg_null_half_active() -> bool:
-    return _CFG_NULL_UNIFORM
+    return _CFG_NULL_UNIFORM and _sharedkv_opt_in()
 
 
 # --------------------------------------------------------------------------
@@ -296,30 +335,17 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
 
     # NB: inside the kernel use ONLY raw lax primitives for integer //,
     # select — the jnp/jax.nn sugar wraps them in closed jit calls that the
-    # Mosaic lowering rejects.
-    def _blk_ids(shape, dim, divisor):
-        i = jax.lax.broadcasted_iota(jnp.int32, shape, dim)
-        return jax.lax.div(i, jnp.int32(divisor))
+    # Mosaic lowering rejects.  (`_pack_ids`/`_chunk_packs` are the shared
+    # module-level helpers, also used by the backward kernels.)
 
     # -------- load activations --------------------------------------------
     rows = p * length
     c = x_ref.shape[-1]
     x = x_ref[:].reshape(rows, c)
 
-    # Attention runs on chunks of g packs with g*L ~ one 128-row MXU tile.
-    # (Measured alternative: shrinking g until g*kv_len <= 128 lanes cuts
-    # the block-diagonal softmax waste quadratically but loses MORE to
-    # small-GEMM issue latency — 559 -> 722 us/call on the L=4,C=256
-    # stage.  Rows win; keep the q side at full tiles.)
-    def _chunk_g(kv_per_pack: int) -> int:
-        g = p
-        while g > 1 and (g * length > 128 or p % g):
-            g -= 1
-        return max(g, 1)
-
-    g_self = _chunk_g(length)
-    self_mask = (_blk_ids((g_self * length, g_self * length), 0, length)
-                 == _blk_ids((g_self * length, g_self * length), 1, length))
+    g_self = _chunk_packs(p, length)
+    self_mask = (_pack_ids((g_self * length, g_self * length), 0, length)
+                 == _pack_ids((g_self * length, g_self * length), 1, length))
     if cross and uniform_ctx:
         # one shared context row-block for the whole (null) half: dense
         # (rows x ctx_len) attention, no packing masks at all
@@ -327,11 +353,11 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
         g_cross = cross_mask = None
     elif cross:
         ctx = ctx_ref[:].reshape(p * ctx_len, ctx_ref.shape[-1])
-        g_cross = _chunk_g(ctx_len)
-        cross_mask = (_blk_ids((g_cross * length, g_cross * ctx_len), 0,
-                               length)
-                      == _blk_ids((g_cross * length, g_cross * ctx_len), 1,
-                                  ctx_len))
+        g_cross = _chunk_packs(p, length)
+        cross_mask = (_pack_ids((g_cross * length, g_cross * ctx_len), 0,
+                                length)
+                      == _pack_ids((g_cross * length, g_cross * ctx_len), 1,
+                                   ctx_len))
 
     # -------- GroupNorm(32, eps 1e-6) to_in_0 ------------------------------
     gn_scale, gn_bias = w(), w()
@@ -342,10 +368,10 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
         y32 = xf
     else:
         # segment sums over each pack's L rows via indicator matmuls
-        seg = (_blk_ids((p, rows), 1, length)
+        seg = (_pack_ids((p, rows), 1, length)
                == jax.lax.broadcasted_iota(jnp.int32, (p, rows), 0)
                ).astype(jnp.float32)                             # (P, R)
-        grp = (_blk_ids((c, groups), 0, cpg)
+        grp = (_pack_ids((c, groups), 0, cpg)
                == jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
                ).astype(jnp.float32)                             # (C, G)
         n_elem = float(length * cpg)
@@ -475,7 +501,7 @@ def _kernel(refs, *, plan, num_layers: int, heads: int, head_dim: int,
 
 def _choose_pack(batch: int, length: int, channels: int) -> int:
     """Packs per program.  Attention sub-blocks keep the packed-SDPA
-    granularity (~128 rows, re-derived in-kernel by ``_chunk_g``); the
+    granularity (~128 rows, re-derived in-kernel by ``_chunk_packs``); the
     program carries as many sub-blocks as the VMEM weight budget allows —
     fewer, fatter programs amortize the measured per-grid-step cost.
     """
@@ -690,9 +716,12 @@ def _pack_ids(shape, dim: int, divisor: int) -> jax.Array:
 
 
 def _chunk_packs(p: int, length: int) -> int:
-    """Packs per attention sub-chunk — IDENTICAL to the forward kernel's
-    `_chunk_g` (q rows ~ one 128-row MXU tile; see the measured notes
-    there)."""
+    """Packs per attention sub-chunk, shared by the forward AND backward
+    kernels: q rows ~ one 128-row MXU tile.  (Measured alternative:
+    shrinking g until g*kv_len <= 128 lanes cuts the block-diagonal
+    softmax waste quadratically but loses MORE to small-GEMM issue
+    latency — 559 -> 722 us/call on the L=4,C=256 stage.  Rows win;
+    keep the q side at full tiles.)"""
     g = p
     while g > 1 and (g * length > 128 or p % g):
         g -= 1
@@ -1236,13 +1265,25 @@ def fusable(x: jax.Array, context: Optional[jax.Array],
     if has_cross != (context is not None):
         return False
     if num_layers is not None:
-        # VMEM budget: the weight banks must fit the raised scoped cap
-        # even at the smallest pack (plus the fp32 working set); configs
-        # beyond it would OOM the Mosaic compile — use XLA instead.
+        # VMEM budget: every kernel this config can launch (training
+        # forward WITH the activation stash, and the per-layer backward
+        # with its fp32 grad banks) must fit the raised scoped cap;
+        # configs beyond it would OOM the Mosaic compile — use XLA.
+        itemsize = x.dtype.itemsize
         bank = _weight_bank_bytes(
             c, (heads or 8) * (head_dim or 64),
             context.shape[-1] if has_cross else 0, num_layers,
-            multiplier or 2, x.dtype.itemsize)
-        if bank + (8 << 20) > _VMEM_CAP_BYTES:
+            multiplier or 2, itemsize)
+        p = _choose_pack(x.shape[0], x.shape[1], c)
+        est_fwd = _fwd_vmem_estimate(
+            bank, p, x.shape[1], c,
+            p * context.shape[1] if has_cross else 0,
+            context.shape[-1] if has_cross else 0,
+            n_stash_slots(num_layers, has_cross), itemsize)
+        layer_bytes = bank // max(num_layers, 1)
+        est_bwd = (layer_bytes                       # weights in scratch
+                   + 2 * layer_bytes * 4 // itemsize  # fp32 grad banks
+                   + 10 * p * x.shape[1] * c * 4 + (2 << 20))
+        if max(est_fwd, est_bwd) > _VMEM_CAP_BYTES:
             return False
     return True

@@ -81,6 +81,49 @@ def test_fused_gradients_match_module(cross, pallas_bwd):
                                        rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("cross", [True, False])
+def test_fused_gradients_grid_accumulation(cross):
+    """grid > 1 (pack < batch): the backward kernels accumulate weight
+    grads ACROSS grid programs (zeroed at program 0, `+=` after — TPU
+    grids are sequential).  Every other gradient test's geometry resolves
+    to pack == batch, so this is the only coverage of the revisit
+    accumulation that production training (flagship grid up to 16)
+    actually runs."""
+    B, L, C = 16, 64, 64
+    assert tf._choose_pack(B, L, C) < B  # really grid > 1
+    with jax.default_device(CPU):
+        mod = _make(cross)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (B, L, C))
+        ctx = (jax.random.normal(jax.random.PRNGKey(1), (B, 12, C))
+               if cross else None)
+        args = (x, ctx) if cross else (x,)
+        v = mod.init(jax.random.PRNGKey(2), *args)
+
+        def loss_fused(params, x, ctx):
+            with tf.fused_backward(True):
+                out = tf.transformer1d_fused(
+                    params, x, ctx, num_layers=2, heads=4, head_dim=16,
+                    multiplier=2, context_features=C if cross else None,
+                    interpret=True)
+            return jnp.sum(out ** 2)
+
+        def loss_slow(params, x, ctx):
+            a = (x, ctx) if cross else (x,)
+            return jnp.sum(mod.apply({"params": params}, *a) ** 2)
+
+        argn = (0, 1, 2) if cross else (0, 1)
+        gf = jax.grad(loss_fused, argnums=argn)(v["params"], x, ctx)
+        gs = jax.grad(loss_slow, argnums=argn)(v["params"], x, ctx)
+        # slightly looser than the grid==1 test: sequential per-program
+        # partial sums vs XLA's tree reduction reorder fp32 adds (worst
+        # observed: 1 of 4096 elements at 3.2e-4 rel)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gs)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-5)
+
+
 def test_unflatten_grads_roundtrip():
     """unflatten_grads must invert flatten_params exactly (shapes, dtypes,
     tree structure) — the grad-tree reassembly the Pallas backward uses."""
@@ -279,10 +322,19 @@ def test_production_sampling_path_uses_kernel():
 
 def test_cfg_null_half_shared_kv_exact():
     """The shared-KV null-half variant (round-2 verdict item 3): with the
-    cfg_uniform_null_half flag active and a batch whose second half shares
-    ONE context table, the fused dispatch must split the batch, run the
-    null half through the dense shared-KV kernel, and still be output-
-    equal to the slow composition."""
+    cfg_uniform_null_half flag active, the opt-in enabled, and a batch
+    whose second half shares ONE context table, the fused dispatch must
+    split the batch, run the null half through the dense shared-KV
+    kernel, and still be output-equal to the slow composition."""
+    tf.enable_sharedkv(True)
+    try:
+        _run_shared_kv_checks()
+    finally:
+        tf.enable_sharedkv(False)
+        tf._SHAREDKV = None
+
+
+def _run_shared_kv_checks():
     with jax.default_device(CPU):
         mod = _make(True)
         x = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 64))
@@ -305,6 +357,22 @@ def test_cfg_null_half_shared_kv_exact():
         # two kernel launches: the conditioned half + the shared-KV half
         assert jaxpr.count("pallas_call") >= 2
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+        # a NON-uniform null half under the same flag must take the exact
+        # packed fallback (the dispatch verifies uniformity at runtime
+        # via lax.cond — the trace-time flag alone is not trusted)
+        ctx_bad = jnp.concatenate(
+            [ctx_cond, jax.random.normal(jax.random.PRNGKey(9),
+                                         (4, 12, 64))], axis=0)
+        ref_bad = mod.apply(v, x, ctx_bad)
+        try:
+            tf._INTERPRET = True
+            with tf.fused(True), tf.cfg_uniform_null_half(True):
+                out_bad = mod.apply(v, x, ctx_bad)
+        finally:
+            tf._INTERPRET = False
+        np.testing.assert_allclose(np.asarray(out_bad), np.asarray(ref_bad),
                                    atol=2e-5)
 
         # direct: the uniform variant == slow with broadcast context
