@@ -132,6 +132,10 @@ class TrainConfig:
     # (PERF.md: the batch-1024 crash is a hard worker crash, not a clean
     # RESOURCE_EXHAUSTED).  Ignored on backends without memory_stats.
     preflight_memory_check: bool = True
+    # Host->device input lookahead (data/prefetch.py): assemble batches on
+    # a worker thread and keep this many sharded device batches in flight
+    # ahead of the train step.  0 disables (synchronous feed).
+    prefetch: int = 2
 
 
 def forward_diffusion_qm9() -> QMDiffusionConfig:

@@ -25,6 +25,7 @@ from flax import struct
 from ..core.checkpoint import (latest_checkpoint, restore_checkpoint,
                                save_step_checkpoint)
 from ..core.config import TrainConfig
+from ..data.prefetch import ThreadedLoader, prefetch_to_device
 from ..parallel.mesh import (batch_sharding, make_mesh, replicate,
                              shard_batch)
 
@@ -267,38 +268,62 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
     t0 = time.time()
     samples_seen = 0
     preflighted = False
-    for epoch in range(config.epochs):
-        for X, y in data_iter_fn():
-            cond, target = (y, X) if not swap_xy else (X, y)
-            cond, target = shard_batch(mesh, (np.asarray(cond),
-                                              np.asarray(target)))
-            if config.preflight_memory_check and not preflighted:
-                preflight_memory_check(train_step, state, cond, target,
-                                       data_key)
-                preflighted = True
-            state, loss = train_step(state, cond, target, data_key)
-            samples_seen += cond.shape[0]
-            step = int(state.step)
-            if step % config.print_loss_every == 0:
-                elapsed = time.time() - t0
-                logger.log(step=step, epoch=epoch, loss=float(loss),
-                           samples_per_sec=samples_seen / max(elapsed, 1e-9))
-            # in-epoch eval + checkpoint cadence (reference evals/saves
-            # every print_loss steps inside the epoch,
-            # `generative.py:1139-1172` — essential when one epoch is huge)
-            if (config.eval_every_steps
-                    and step % config.eval_every_steps == 0):
-                if eval_fn is not None:
-                    metrics = eval_fn(state)
-                    logger.log(step=step, epoch=epoch, in_epoch=True,
-                               **metrics)
-                if checkpoint_dir:
-                    save_step_checkpoint(checkpoint_dir,
-                                         jax.device_get(state), step)
-        if eval_fn is not None:
-            metrics = eval_fn(state)
-            logger.log(step=int(state.step), epoch=epoch, **metrics)
-        if checkpoint_dir:
-            save_step_checkpoint(checkpoint_dir,
-                                 jax.device_get(state), int(state.step))
+
+    # input pipeline: worker-thread batch assembly + device lookahead
+    # (data/prefetch.py) when config.prefetch > 0, else synchronous feed
+    loader = (ThreadedLoader(data_iter_fn) if config.prefetch > 0 else None)
+
+    def device_batches():
+        if loader is None:
+            for X, y in data_iter_fn():
+                cond, target = (y, X) if not swap_xy else (X, y)
+                yield shard_batch(mesh, (np.asarray(cond),
+                                         np.asarray(target)))
+            return
+
+        def host_batches():
+            for X, y in loader.epoch():
+                cond, target = (y, X) if not swap_xy else (X, y)
+                yield (np.asarray(cond), np.asarray(target))
+
+        yield from prefetch_to_device(host_batches(), mesh,
+                                      size=config.prefetch)
+
+    try:
+        for epoch in range(config.epochs):
+            for cond, target in device_batches():
+                if config.preflight_memory_check and not preflighted:
+                    preflight_memory_check(train_step, state, cond, target,
+                                           data_key)
+                    preflighted = True
+                state, loss = train_step(state, cond, target, data_key)
+                samples_seen += cond.shape[0]
+                step = int(state.step)
+                if step % config.print_loss_every == 0:
+                    elapsed = time.time() - t0
+                    logger.log(step=step, epoch=epoch, loss=float(loss),
+                               samples_per_sec=samples_seen / max(elapsed,
+                                                                  1e-9))
+                # in-epoch eval + checkpoint cadence (reference evals/saves
+                # every print_loss steps inside the epoch,
+                # `generative.py:1139-1172` — essential when one epoch is
+                # huge)
+                if (config.eval_every_steps
+                        and step % config.eval_every_steps == 0):
+                    if eval_fn is not None:
+                        metrics = eval_fn(state)
+                        logger.log(step=step, epoch=epoch, in_epoch=True,
+                                   **metrics)
+                    if checkpoint_dir:
+                        save_step_checkpoint(checkpoint_dir,
+                                             jax.device_get(state), step)
+            if eval_fn is not None:
+                metrics = eval_fn(state)
+                logger.log(step=int(state.step), epoch=epoch, **metrics)
+            if checkpoint_dir:
+                save_step_checkpoint(checkpoint_dir,
+                                     jax.device_get(state), int(state.step))
+    finally:
+        if loader is not None:
+            loader.close()
     return state, logger
