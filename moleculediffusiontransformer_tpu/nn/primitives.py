@@ -105,9 +105,35 @@ def conv1d_im2col(x: jax.Array, kernel: jax.Array, *, stride: int = 1,
                    preferred_element_type=dtype, precision=mm_precision(dtype))
 
 
+def conv1d_native(x: jax.Array, kernel: jax.Array, *, stride: int = 1,
+                  pad_lo: int = 0, pad_hi: int = 0, dilation: int = 1,
+                  dtype: Dtype = jnp.float32) -> jax.Array:
+    """1-D convolution via ``lax.conv_general_dilated`` (XLA's native conv,
+    NWC/WIO — no layout transposes).  Used for bf16 compute, where XLA's
+    conv path avoids im2col's k-fold patch materialization in the
+    BACKWARD (dL/dpatches + fold) — measured ~10-15% faster per wide
+    conv's grad on v5e.  fp32 stays on :func:`conv1d_im2col` for exact
+    dot-semantics parity (PERF.md round 3 conv-lowering A/B)."""
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), window_strides=(stride,),
+        padding=[(pad_lo, pad_hi)], rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=dtype)
+
+
+def conv1d(x: jax.Array, kernel: jax.Array, *, stride: int = 1,
+           pad_lo: int = 0, pad_hi: int = 0, dilation: int = 1,
+           dtype: Dtype = jnp.float32) -> jax.Array:
+    """Lowering dispatch: im2col+matmul for fp32 (exact parity), XLA
+    native conv for reduced-precision compute."""
+    fn = conv1d_im2col if dtype == jnp.float32 else conv1d_native
+    return fn(x, kernel, stride=stride, pad_lo=pad_lo, pad_hi=pad_hi,
+              dilation=dilation, dtype=dtype)
+
+
 class Conv1d(nn.Module):
     """1-D convolution over (b, L, C) with torch padding semantics.
-    Param 'kernel' is (k, in, out); lowered via :func:`conv1d_im2col`."""
+    Param 'kernel' is (k, in, out); lowered via :func:`conv1d`."""
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -123,9 +149,9 @@ class Conv1d(nn.Module):
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param("kernel", _uniform_init(bound),
                             (self.kernel_size, in_features, self.features))
-        y = conv1d_im2col(x, kernel, stride=self.stride,
-                          pad_lo=self.padding, pad_hi=self.padding,
-                          dilation=self.dilation, dtype=self.dtype)
+        y = conv1d(x, kernel, stride=self.stride,
+                   pad_lo=self.padding, pad_hi=self.padding,
+                   dilation=self.dilation, dtype=self.dtype)
         if self.use_bias:
             bias = self.param("bias", _uniform_init(bound), (self.features,))
             y = y + bias.astype(self.dtype)

@@ -347,3 +347,38 @@ def test_attention_rel_pos_matches_torch(reference):
     variables = import_params(ours, ref_mod, to_jax(x))
     out = ours.apply(variables, to_jax(x))
     assert np.allclose(out, ref, atol=TOL)
+
+
+def test_conv1d_lowering_dispatch():
+    """fp32 must lower via im2col (exact dot semantics for parity); bf16
+    rides XLA's native conv (PERF.md round-3 A/B: +6-7% flagship
+    sampling) and must agree with the im2col formulation to bf16 noise
+    across stride/dilation/padding geometries."""
+    from moleculediffusiontransformer_tpu.nn.primitives import (
+        conv1d, conv1d_im2col, conv1d_native)
+    key = jax.random.PRNGKey(0)
+    for (k, stride, pad, dil) in [(3, 1, 1, 1), (1, 1, 0, 1), (4, 2, 1, 1),
+                                  (3, 1, 2, 2), (9, 1, 4, 1)]:
+        x = jax.random.normal(key, (4, 32, 24))
+        w = jax.random.normal(jax.random.PRNGKey(k), (k, 24, 16)) * 0.1
+        # fp32: dispatch == im2col bit-exactly
+        a = conv1d(x, w, stride=stride, pad_lo=pad, pad_hi=pad, dilation=dil)
+        b = conv1d_im2col(x, w, stride=stride, pad_lo=pad, pad_hi=pad,
+                          dilation=dil)
+        assert a.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # bf16: dispatch == native, and native ~= im2col
+        xb, wb = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+        nat = conv1d(xb, wb, stride=stride, pad_lo=pad, pad_hi=pad,
+                     dilation=dil, dtype=jnp.bfloat16)
+        im = conv1d_im2col(xb, wb, stride=stride, pad_lo=pad, pad_hi=pad,
+                           dilation=dil, dtype=jnp.bfloat16)
+        assert nat.dtype == jnp.bfloat16 and nat.shape == im.shape
+        np.testing.assert_allclose(np.asarray(nat, np.float32),
+                                   np.asarray(im, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+        direct = conv1d_native(xb, wb, stride=stride, pad_lo=pad,
+                               pad_hi=pad, dilation=dil,
+                               dtype=jnp.bfloat16)
+        np.testing.assert_array_equal(np.asarray(nat, np.float32),
+                                      np.asarray(direct, np.float32))
