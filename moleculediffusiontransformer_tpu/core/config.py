@@ -136,6 +136,10 @@ class TrainConfig:
     # a worker thread and keep this many sharded device batches in flight
     # ahead of the train step.  0 disables (synchronous feed).
     prefetch: int = 2
+    # Checkpoint tier: "msgpack" (single-file exact resume) or "orbax"
+    # (production: async background saves + mesh-aware sharded restore,
+    # core/checkpoint_orbax.py).
+    checkpoint_backend: str = "msgpack"
 
 
 def forward_diffusion_qm9() -> QMDiffusionConfig:

@@ -249,6 +249,18 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
     mesh = mesh or make_mesh()
     tx = make_optimizer(config)
 
+    orbax_ck = None
+    if checkpoint_dir and config.checkpoint_backend == "orbax":
+        from ..core.checkpoint_orbax import OrbaxCheckpointer
+        orbax_ck = OrbaxCheckpointer(checkpoint_dir, async_save=True)
+
+    def _save(state_, step_):
+        if orbax_ck is not None:    # async: returns before the write lands
+            orbax_ck.save(step_, jax.device_get(state_))
+        else:
+            save_step_checkpoint(checkpoint_dir, jax.device_get(state_),
+                                 step_)
+
     rng = jax.random.PRNGKey(config.seed)
     params = model.init(rng, jnp.asarray(init_conditioning),
                         jnp.asarray(init_target), rng)["params"]
@@ -256,10 +268,15 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
     state = replicate(mesh, state)
 
     if resume and checkpoint_dir:
-        ckpt = latest_checkpoint(checkpoint_dir)
-        if ckpt:
-            state = restore_checkpoint(ckpt, state)
-            state = replicate(mesh, state)
+        if orbax_ck is not None:
+            if orbax_ck.latest_step() is not None:
+                state = orbax_ck.restore(jax.device_get(state))
+                state = replicate(mesh, state)
+        else:
+            ckpt = latest_checkpoint(checkpoint_dir)
+            if ckpt:
+                state = restore_checkpoint(ckpt, state)
+                state = replicate(mesh, state)
 
     train_step = make_diffusion_train_step(
         model, tx, accumulation_steps=config.accumulation_steps)
@@ -315,15 +332,15 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
                         logger.log(step=step, epoch=epoch, in_epoch=True,
                                    **metrics)
                     if checkpoint_dir:
-                        save_step_checkpoint(checkpoint_dir,
-                                             jax.device_get(state), step)
+                        _save(state, step)
             if eval_fn is not None:
                 metrics = eval_fn(state)
                 logger.log(step=int(state.step), epoch=epoch, **metrics)
             if checkpoint_dir:
-                save_step_checkpoint(checkpoint_dir,
-                                     jax.device_get(state), int(state.step))
+                _save(state, int(state.step))
     finally:
         if loader is not None:
             loader.close()
+        if orbax_ck is not None:
+            orbax_ck.close()    # block until async saves commit
     return state, logger

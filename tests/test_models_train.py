@@ -363,3 +363,97 @@ def test_in_epoch_eval_cadence(tiny, tmp_path):
     in_epoch = [r for r in logger.history if r.get("in_epoch")]
     assert [r["step"] for r in in_epoch] == [2, 4]
     assert latest_checkpoint(str(tmp_path)) is not None
+
+
+def test_orbax_checkpointer_async_roundtrip(tmp_path, tiny):
+    """Production checkpoint tier (core/checkpoint_orbax.py): async saves
+    must commit (after wait_until_finished), retention must prune, and
+    restore must reproduce the saved state exactly."""
+    from moleculediffusiontransformer_tpu.core.checkpoint_orbax import (
+        OrbaxCheckpointer)
+    model, variables, seq, target = tiny
+    tx = make_optimizer(TrainConfig())
+    state = TrainState.create(variables["params"], tx)
+    step_fn = make_diffusion_train_step(model, tx, donate=False)
+    key = jax.random.PRNGKey(0)
+
+    states = {}
+    with OrbaxCheckpointer(str(tmp_path / "orbax"), keep=2,
+                           async_save=True) as ck:
+        for i in range(4):
+            state, _ = step_fn(state, seq, target, key)
+            states[i + 1] = jax.device_get(state)
+            assert ck.save(int(state.step), jax.device_get(state))
+        ck.wait_until_finished()
+        assert ck.all_steps() == [3, 4]          # keep=2 pruned 1, 2
+        restored = ck.restore(jax.device_get(state))
+        for a, b in zip(jax.tree_util.tree_leaves(states[4]),
+                        jax.tree_util.tree_leaves(restored)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+        # restore an older retained step too
+        r3 = ck.restore(jax.device_get(state), step=3)
+        for a, b in zip(jax.tree_util.tree_leaves(states[3]),
+                        jax.tree_util.tree_leaves(r3)):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_sharded_restore_on_mesh(tmp_path, tiny):
+    """Mesh-aware restore: leaves come back placed in the requested
+    NamedSharding across the 8-device virtual mesh (no host-side
+    full-tree staging), values identical."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from moleculediffusiontransformer_tpu.core.checkpoint_orbax import (
+        OrbaxCheckpointer, shard_restore_target)
+    from moleculediffusiontransformer_tpu.parallel.mesh import make_mesh
+
+    model, variables, _, _ = tiny
+    tx = make_optimizer(TrainConfig())
+    state = TrainState.create(variables["params"], tx)
+    host = jax.device_get(state)
+
+    mesh = make_mesh(8, backend="cpu")
+    with OrbaxCheckpointer(str(tmp_path / "orbax"), async_save=False) as ck:
+        ck.save(0, host)
+        ck.wait_until_finished()
+        target = shard_restore_target(host, mesh)
+        restored = ck.restore(target)
+
+    for a, b in zip(jax.tree_util.tree_leaves(host.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        assert isinstance(b, jax.Array)
+        assert len(b.sharding.device_set) == 8   # replicated over the mesh
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_diffusion_orbax_backend_resume(tmp_path, tiny):
+    """train_diffusion with checkpoint_backend='orbax': async checkpoints
+    must commit by trainer exit, and resume must continue from the saved
+    step with identical state to the saved one."""
+    from moleculediffusiontransformer_tpu.core.checkpoint_orbax import (
+        OrbaxCheckpointer)
+    from moleculediffusiontransformer_tpu.train import train_diffusion
+    from moleculediffusiontransformer_tpu.parallel.mesh import make_mesh
+
+    model, _, seq, target = tiny
+    X = np.tile(np.asarray(target), (4, 1, 1))
+    y = np.tile(np.asarray(seq), (4, 1))
+
+    def data_iter():
+        for i in range(0, 8, 2):
+            yield X[i:i + 2], y[i:i + 2]
+
+    cfg = TrainConfig(learning_rate=1e-3, epochs=1, print_loss_every=100,
+                      checkpoint_backend="orbax", prefetch=0,
+                      preflight_memory_check=False)
+    mesh = make_mesh(1, backend="cpu")
+    ckdir = str(tmp_path / "orbax_ck")
+    state1, _ = train_diffusion(model, data_iter, cfg,
+                                init_conditioning=y[:2], init_target=X[:2],
+                                mesh=mesh, checkpoint_dir=ckdir)
+    with OrbaxCheckpointer(ckdir) as ck:
+        assert ck.latest_step() == 4        # 4 steps in the epoch, committed
+    # resume: a fresh trainer continues from step 4, not 0
+    state2, _ = train_diffusion(model, data_iter, cfg,
+                                init_conditioning=y[:2], init_target=X[:2],
+                                mesh=mesh, checkpoint_dir=ckdir, resume=True)
+    assert int(state2.step) == 8
