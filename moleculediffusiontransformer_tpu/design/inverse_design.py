@@ -169,17 +169,34 @@ def generate_from_conditioning(model, variables, properties: np.ndarray,
                                scaler: Optional[MinMaxScaler] = None,
                                training_smiles: Sequence[str] = (),
                                cond_scale: float = 7.5,
-                               timesteps: int = 100) -> Dict:
+                               timesteps: int = 100,
+                               mesh=None) -> Dict:
     """Single-shot inverse design from a raw property vector
     (reference `generative.py:1662-1738`): scale -> sample -> argmax ->
     decode -> validity/novelty.  ``properties`` (b, 12) in physical units
-    when ``scaler`` given, else already scaled."""
+    when ``scaler`` given, else already scaled.
+
+    ``mesh``: serve the request batch-parallel over a device mesh — the
+    batch (padded to a device multiple) is sharded over the 'data' axis,
+    params replicated, and GSPMD partitions the whole sampling scan.
+    When the batch divides the mesh evenly (no padding) the results are
+    bit-identical to single-device sampling: the noise draw depends only
+    on ``key`` and the global shape.  Padding changes the global noise
+    shape, so padded batches are valid samples but a different draw."""
     from ..models.qm_diffusion import sample as qm_sample
     props = np.asarray(properties, np.float32)
     if scaler is not None:
         props = scaler.transform(props)
-    out = qm_sample(model, variables, jnp.asarray(props), key,
+    n = props.shape[0]
+    props_j = jnp.asarray(props)
+    if mesh is not None:
+        from ..parallel.mesh import pad_to_multiple, replicate, shard_batch
+        n_dev = mesh.devices.size
+        props_j = shard_batch(mesh, pad_to_multiple(props, n_dev))
+        variables = replicate(mesh, variables)
+    out = qm_sample(model, variables, props_j, key,
                     num_steps=timesteps, cond_scale=cond_scale)
+    out = out[:n]
     smiles = decode_one_hot(np.asarray(out), tokenizer)
     report = evaluate_generated(smiles, training_smiles)
     report["smiles"] = smiles
