@@ -179,14 +179,28 @@ class ConvTranspose1d(nn.Module):
         bound = 1.0 / math.sqrt(fan_in)
         kernel = self.param("tkernel", _uniform_init(bound),
                             (self.kernel_size, in_features, self.features))
-        if self.stride > 1:
-            dilated = jnp.zeros(
-                (b, (length - 1) * self.stride + 1, in_features), x.dtype)
-            x = dilated.at[:, :: self.stride].set(x)
         pad_lo = self.kernel_size - 1 - self.padding
         pad_hi = pad_lo + self.output_padding
-        y = conv1d_im2col(x, jnp.flip(kernel, axis=0), stride=1,
-                          pad_lo=pad_lo, pad_hi=pad_hi, dtype=self.dtype)
+        if self.dtype != jnp.float32:
+            # XLA native conv with lhs_dilation — never materializes the
+            # stride-dilated (mostly-zero) input the im2col route pads
+            # and re-reads k times (same dispatch rationale as `conv1d`)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                jnp.flip(kernel, axis=0).astype(self.dtype),
+                window_strides=(1,), padding=[(pad_lo, pad_hi)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=self.dtype)
+        else:
+            if self.stride > 1:
+                dilated = jnp.zeros(
+                    (b, (length - 1) * self.stride + 1, in_features),
+                    x.dtype)
+                x = dilated.at[:, :: self.stride].set(x)
+            y = conv1d_im2col(x, jnp.flip(kernel, axis=0), stride=1,
+                              pad_lo=pad_lo, pad_hi=pad_hi,
+                              dtype=self.dtype)
         if self.use_bias:
             bias = self.param("bias", _uniform_init(bound), (self.features,))
             y = y + bias.astype(self.dtype)

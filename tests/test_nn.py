@@ -382,3 +382,25 @@ def test_conv1d_lowering_dispatch():
                                dtype=jnp.bfloat16)
         np.testing.assert_array_equal(np.asarray(nat, np.float32),
                                       np.asarray(direct, np.float32))
+
+
+def test_conv_transpose_bf16_native_matches_im2col():
+    """bf16 ConvTranspose1d lowers through lhs-dilated native conv; it
+    must agree with the fp32 im2col reference route to bf16 noise across
+    the UNet's upsample geometries (factor 4 kernel 8, factor 2 kernel 4,
+    output_padding)."""
+    for (k, stride, pad, opad) in [(8, 4, 2, 0), (4, 2, 1, 0),
+                                   (4, 2, 1, 1), (3, 1, 1, 0)]:
+        mod32 = ConvTranspose1d(features=12, kernel_size=k, stride=stride,
+                                padding=pad, output_padding=opad)
+        mod16 = ConvTranspose1d(features=12, kernel_size=k, stride=stride,
+                                padding=pad, output_padding=opad,
+                                dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(k), (2, 16, 10))
+        v = mod32.init(jax.random.PRNGKey(0), x)
+        ref = mod32.apply(v, x)
+        out = mod16.apply(v, x.astype(jnp.bfloat16))
+        assert out.dtype == jnp.bfloat16
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref), rtol=3e-2, atol=3e-2)
