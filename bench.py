@@ -31,9 +31,13 @@ TORCH_CPU_TRAIN_SAMPLES_PER_S = 21.203  # train step, samples/s, batch 16
 # `--flagship` run (91M Inverse_Diffusion preset), 2026-08-17:
 TORCH_CPU_FLAGSHIP_MOL_PER_S = 0.2885   # sampling, molecules/s, batch 16
 
-BATCH = 256
+# Sampling batches sit at each model's measured throughput-optimal point
+# (PERF.md batch-scaling probe: bench 384.7 -> 389.3 mol/s at 256 -> 512,
+# flagship 369.4 -> 382.6; 1024 regresses).  The torch-CPU baseline
+# constants likewise use torch's own best batch (16).
+BATCH = 512
 NUM_STEPS = 64
-FLAGSHIP_BATCH = 256
+FLAGSHIP_BATCH = 512
 # the reference trains at batch 1024 (Inverse_Diffusion nb cell 64); the
 # bench model fits it on one chip (the 91M flagship's envelope is 512,
 # PERF.md) and throughput saturates there: 11.8k / 15.2k / 15.6k

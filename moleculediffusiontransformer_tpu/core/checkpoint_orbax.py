@@ -42,8 +42,12 @@ class OrbaxCheckpointer:
     def __init__(self, directory: str, *, keep: int = 3,
                  async_save: bool = True,
                  save_interval_steps: int = 1):
+        import os
         ocp = _ocp()
         self._ocp = ocp
+        # tensorstore requires absolute paths; the msgpack tier accepts
+        # relative ones — keep the tiers swap-compatible
+        directory = os.path.abspath(directory)
         opts = ocp.CheckpointManagerOptions(
             max_to_keep=keep,
             save_interval_steps=save_interval_steps,

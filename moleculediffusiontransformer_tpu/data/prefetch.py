@@ -103,10 +103,17 @@ class ThreadedLoader:
                     return
             q.put(self._DONE)
         except BaseException as e:  # surfaced at the consumer
-            q.put(e)
+            while not self._stop.is_set():
+                try:
+                    q.put(e, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def epoch(self) -> Iterator[Any]:
-        """One epoch's batches, produced on the worker thread."""
+        """One epoch's batches, produced on the worker thread.  Abandoning
+        the generator early (break / GeneratorExit) stops the worker via
+        the ``finally`` — no spinning producer is left behind."""
         self.close()
         self._stop.clear()
         q: queue.Queue = queue.Queue(maxsize=self._depth)
@@ -114,17 +121,20 @@ class ThreadedLoader:
         self._thread = threading.Thread(target=self._worker, args=(q,),
                                         daemon=True)
         self._thread.start()
-        while True:
-            item = q.get()
-            if item is self._DONE:
-                self._thread.join()
-                self._thread = None
-                return
-            if isinstance(item, BaseException):
-                self._thread.join()
-                self._thread = None
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    self._thread.join()
+                    self._thread = None
+                    return
+                if isinstance(item, BaseException):
+                    self._thread.join()
+                    self._thread = None
+                    raise item
+                yield item
+        finally:
+            self.close()
 
     def close(self) -> None:
         """Stop the worker (if mid-epoch) and drop queued batches."""

@@ -1,0 +1,165 @@
+"""AOT serving artifacts via ``jax.export`` — compile once, serve anywhere.
+
+The production serving story for the reference is "load the torch
+checkpoint, re-run the notebook" (reference `README.md:44-60`); here the
+whole jitted sampling program (64-step CFG ADPM2 scan, reference
+`generative.py:834-870`) is serialized to a portable StableHLO artifact a
+serving process deserializes and calls — no model code, no Flax, no
+Python retrace.  Params stay ARGUMENTS of the artifact, so one export
+pairs with any checkpoint of the same architecture (swap checkpoints
+without re-exporting).
+
+Why this is TPU-native rather than a torchscript analog: the artifact is
+the already-staged XLA program — on load, the serving host pays only the
+backend compile (which the persistent compilation cache makes a one-time
+cost per fleet), and the exported program embeds the same sharding
+annotations the live path uses, so a mesh-sharded export serves
+batch-parallel unchanged.
+
+Notes
+-----
+- Artifacts are exported for explicit ``platforms`` (e.g. export on a CPU
+  build host, serve on TPU).  Default: the process's default platform.
+- The Pallas megakernel lowers to a ``tpu_custom_call`` that is stable
+  only within a Mosaic version window; exports therefore run the pure
+  XLA composition by default (output-identical — PERF.md: 16/16 decoded
+  molecules match).  Pass ``allow_tpu_custom_calls=True`` to export the
+  fused path for a same-fleet TPU deployment.
+- The PRNG key argument is the classic ``uint32[2]`` key
+  (``jax.random.PRNGKey``), the stable wire format.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+__all__ = [
+    "export_jit", "export_sampler", "export_inpainter", "save_artifact",
+    "load_artifact", "serialize", "deserialize",
+]
+
+
+def _spec_tree(tree: Any) -> Any:
+    """ShapeDtypeStruct skeleton of an array pytree (params -> specs).
+    ShapeDtypeStruct leaves (e.g. from ``jax.eval_shape``) pass through."""
+    def one(x):
+        if isinstance(x, jax.ShapeDtypeStruct):
+            return x
+        x = jnp.asarray(x)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+    return jax.tree_util.tree_map(one, tree)
+
+
+def export_jit(fn: Callable, *arg_specs: Any,
+               platforms: Optional[Sequence[str]] = None,
+               allow_tpu_custom_calls: bool = False) -> jexport.Exported:
+    """Export ``jit(fn)`` called with ``arg_specs`` (arrays or
+    ShapeDtypeStructs; pytrees allowed) to a portable ``Exported``."""
+    specs = tuple(_spec_tree(a) for a in arg_specs)
+    kwargs: dict = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    if allow_tpu_custom_calls:
+        kwargs["disabled_checks"] = (
+            jexport.DisabledSafetyCheck.custom_call("tpu_custom_call"),)
+    return jexport.export(jax.jit(fn), **kwargs)(*specs)
+
+
+def _key_spec() -> jax.ShapeDtypeStruct:
+    return jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+
+def export_sampler(model, variables, *, batch: int,
+                   num_steps: int = 100, cond_scale: float = 7.5,
+                   clamp: bool = False, sigma_min: float = 1e-3,
+                   sigma_max: float = 9.0, rho: float = 3.0,
+                   num_conditioning: Optional[int] = None,
+                   platforms: Optional[Sequence[str]] = None,
+                   allow_tpu_custom_calls: bool = False
+                   ) -> jexport.Exported:
+    """Export the full CFG sampling program for ``model``.
+
+    The artifact's calling convention is
+    ``call(variables, sequences, key) -> (batch, max_length, pred_dim)``
+    with ``sequences`` a ``(batch, num_conditioning)`` float32 array of
+    property scalars (each becomes one conditioning token — reference
+    `generative.py:812-826`; default: the model's
+    ``context_embedding_max_length``, 12 for the QM9 presets) and ``key``
+    a classic uint32[2] PRNG key.  Sampler hyperparameters (steps,
+    cond_scale, schedule) are baked in — they select the traced program,
+    exactly like the live `models.sample` static args.
+    """
+    from ..models.qm_diffusion import sample
+    from ..ops import transformer_fusion
+
+    def fn(variables, sequences, key):
+        with transformer_fusion.fused(allow_tpu_custom_calls):
+            return sample(model, variables, sequences, key,
+                          num_steps=num_steps, cond_scale=cond_scale,
+                          clamp=clamp, sigma_min=sigma_min,
+                          sigma_max=sigma_max, rho=rho)
+
+    n_cond = (model.context_embedding_max_length
+              if num_conditioning is None else num_conditioning)
+    cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32)
+    return export_jit(fn, variables, cond, _key_spec(),
+                      platforms=platforms,
+                      allow_tpu_custom_calls=allow_tpu_custom_calls)
+
+
+def export_inpainter(model, variables, *, batch: int,
+                     num_steps: int = 100, num_resamples: int = 1,
+                     cond_scale: float = 7.5, sigma_min: float = 1e-3,
+                     sigma_max: float = 9.0, rho: float = 3.0,
+                     num_conditioning: Optional[int] = None,
+                     platforms: Optional[Sequence[str]] = None,
+                     allow_tpu_custom_calls: bool = False
+                     ) -> jexport.Exported:
+    """Export the RePaint inpainting program (reference
+    `generative.py:871-914`): ``call(variables, sequences, source, mask,
+    key)`` with ``source`` (b, L, pred_dim) float32 and ``mask`` the
+    same shape, bool (True = keep from source)."""
+    from ..models.qm_diffusion import inpaint
+    from ..ops import transformer_fusion
+
+    def fn(variables, sequences, source, mask, key):
+        with transformer_fusion.fused(allow_tpu_custom_calls):
+            return inpaint(model, variables, sequences, source, mask, key,
+                           num_steps=num_steps,
+                           num_resamples=num_resamples,
+                           cond_scale=cond_scale, sigma_min=sigma_min,
+                           sigma_max=sigma_max, rho=rho)
+
+    shape = (batch, model.max_length, model.pred_dim)
+    n_cond = (model.context_embedding_max_length
+              if num_conditioning is None else num_conditioning)
+    cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32)
+    source = jax.ShapeDtypeStruct(shape, jnp.float32)
+    mask = jax.ShapeDtypeStruct(shape, jnp.bool_)
+    return export_jit(fn, variables, cond, source, mask, _key_spec(),
+                      platforms=platforms,
+                      allow_tpu_custom_calls=allow_tpu_custom_calls)
+
+
+# --------------------------------------------------------- wire format --
+
+def serialize(exported: jexport.Exported) -> bytes:
+    return bytes(exported.serialize())
+
+
+def deserialize(blob: bytes) -> jexport.Exported:
+    return jexport.deserialize(bytearray(blob))
+
+
+def save_artifact(exported: jexport.Exported, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(serialize(exported))
+
+
+def load_artifact(path: str) -> jexport.Exported:
+    """Load a serving artifact; invoke it with ``.call(*args)``."""
+    with open(path, "rb") as f:
+        return deserialize(f.read())

@@ -270,8 +270,10 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
     if resume and checkpoint_dir:
         if orbax_ck is not None:
             if orbax_ck.latest_step() is not None:
-                state = orbax_ck.restore(jax.device_get(state))
-                state = replicate(mesh, state)
+                # sharded restore: leaves land DIRECTLY in their mesh
+                # placement (no full-tree host staging then re-shard)
+                from ..core.checkpoint_orbax import shard_restore_target
+                state = orbax_ck.restore(shard_restore_target(state, mesh))
         else:
             ckpt = latest_checkpoint(checkpoint_dir)
             if ckpt:
@@ -291,21 +293,24 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
     loader = (ThreadedLoader(data_iter_fn) if config.prefetch > 0 else None)
 
     def device_batches():
-        if loader is None:
-            for X, y in data_iter_fn():
-                cond, target = (y, X) if not swap_xy else (X, y)
-                yield shard_batch(mesh, (np.asarray(cond),
-                                         np.asarray(target)))
-            return
-
         def host_batches():
-            for X, y in loader.epoch():
+            for X, y in (data_iter_fn() if loader is None
+                         else loader.epoch()):
                 cond, target = (y, X) if not swap_xy else (X, y)
                 yield (np.asarray(cond), np.asarray(target))
 
+        if loader is None:
+            for batch in host_batches():
+                yield shard_batch(mesh, batch)
+            return
         yield from prefetch_to_device(host_batches(), mesh,
                                       size=config.prefetch)
 
+    # host-side step counter: int(state.step) every iteration would force
+    # a device sync per step and serialize the dispatch pipeline the
+    # prefetch lookahead exists to keep full — only loss/eval logging
+    # touches device values
+    step = int(state.step)
     try:
         for epoch in range(config.epochs):
             for cond, target in device_batches():
@@ -315,7 +320,7 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
                     preflighted = True
                 state, loss = train_step(state, cond, target, data_key)
                 samples_seen += cond.shape[0]
-                step = int(state.step)
+                step += 1
                 if step % config.print_loss_every == 0:
                     elapsed = time.time() - t0
                     logger.log(step=step, epoch=epoch, loss=float(loss),
@@ -335,9 +340,9 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
                         _save(state, step)
             if eval_fn is not None:
                 metrics = eval_fn(state)
-                logger.log(step=int(state.step), epoch=epoch, **metrics)
+                logger.log(step=step, epoch=epoch, **metrics)
             if checkpoint_dir:
-                _save(state, int(state.step))
+                _save(state, step)
     finally:
         if loader is not None:
             loader.close()

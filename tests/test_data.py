@@ -251,3 +251,15 @@ def test_train_diffusion_prefetch_equivalence():
         losses[pf] = [r["loss"] for r in logger.history if "loss" in r]
     assert len(losses[0]) == 8
     np.testing.assert_allclose(losses[0], losses[2], rtol=1e-6)
+
+
+def test_threaded_loader_abandoned_generator_stops_worker():
+    """Abandoning epoch() mid-iteration (GeneratorExit) must stop the
+    worker thread — no producer left spinning on the bounded queue."""
+    from moleculediffusiontransformer_tpu.data.prefetch import ThreadedLoader
+    data = [np.full((2,), i, np.float32) for i in range(100)]
+    ldr = ThreadedLoader(lambda: iter(data), queue_depth=1)
+    it = ldr.epoch()
+    next(it)
+    it.close()                      # GeneratorExit -> finally -> close()
+    assert ldr._thread is None

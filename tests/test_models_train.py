@@ -457,3 +457,22 @@ def test_train_diffusion_orbax_backend_resume(tmp_path, tiny):
                                 init_conditioning=y[:2], init_target=X[:2],
                                 mesh=mesh, checkpoint_dir=ckdir, resume=True)
     assert int(state2.step) == 8
+
+
+def test_orbax_accepts_relative_directory(tmp_path, tiny, monkeypatch):
+    """The orbax tier must accept the same relative checkpoint_dir the
+    msgpack tier does (tensorstore itself requires absolute paths)."""
+    from moleculediffusiontransformer_tpu.core.checkpoint_orbax import (
+        OrbaxCheckpointer)
+    model, variables, _, _ = tiny
+    tx = make_optimizer(TrainConfig())
+    state = jax.device_get(TrainState.create(variables["params"], tx))
+    monkeypatch.chdir(tmp_path)
+    with OrbaxCheckpointer("rel_ckpts", async_save=False) as ck:
+        ck.save(0, state)
+        ck.wait_until_finished()
+        assert ck.latest_step() == 0
+        restored = ck.restore(state)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
