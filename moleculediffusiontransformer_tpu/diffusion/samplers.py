@@ -23,6 +23,19 @@ import jax.numpy as jnp
 DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
+def _sqrt_sq_diff(a: jax.Array, b: jax.Array) -> jax.Array:
+    """sqrt(a**2 - b**2) for a >= b >= 0, robust to FMA contraction.
+
+    XLA may lower ``a*a - b*b`` as ``fma(a, a, -(b*b))``, whose result for
+    a == b is the (sign-indeterminate) rounding residual of b*b rather than
+    exactly 0 — ``sqrt`` then returns NaN or ~sqrt(ulp) garbage.  Hosts
+    differ (this bit only after a machine change).  The factored form is
+    exact at a == b for any contraction, and the clamp guards the remaining
+    rounding range.  Equal to the naive formula to 1 ulp everywhere else.
+    """
+    return jnp.sqrt(jnp.maximum((a - b) * (a + b), 0.0))
+
+
 def _batched(denoise: DenoiseFn, x: jax.Array, sigma: jax.Array) -> jax.Array:
     """Broadcast a scalar step sigma to a (batch,) vector (the reference's
     ``to_batch``, `diffusion.py:91-102`)."""
@@ -42,7 +55,7 @@ def adpm2_sigmas(sigma: jax.Array, sigma_next: jax.Array, rho: float = 1.0):
     """Ancestral DPM-2 sigma decomposition (reference `diffusion.py:495-500`)."""
     sigma_up = jnp.sqrt(sigma_next ** 2 * (sigma ** 2 - sigma_next ** 2)
                         / sigma ** 2)
-    sigma_down = jnp.sqrt(sigma_next ** 2 - sigma_up ** 2)
+    sigma_down = _sqrt_sq_diff(sigma_next, sigma_up)
     sigma_mid = ((sigma ** (1 / rho) + sigma_down ** (1 / rho)) / 2) ** rho
     return sigma_up, sigma_down, sigma_mid
 
@@ -97,7 +110,7 @@ def inpaint_adpm2(denoise: DenoiseFn, source: jax.Array, mask: jax.Array,
             k_step, k_renoise = jax.random.split(kr)
             x = jnp.where(mask, source_noisy, x)
             x = adpm2_step(denoise, x, s, sn, k_step, rho)
-            renoise_sigma = jnp.sqrt(s ** 2 - sn ** 2)
+            renoise_sigma = _sqrt_sq_diff(s, sn)
             renoised = x + renoise_sigma * jax.random.normal(
                 k_renoise, x.shape, x.dtype)
             return jnp.where(r < num_resamples - 1, renoised, x)
@@ -114,7 +127,7 @@ def inpaint_adpm2(denoise: DenoiseFn, source: jax.Array, mask: jax.Array,
 def aeuler_sigmas(sigma, sigma_next):
     sigma_up = jnp.sqrt(sigma_next ** 2 * (sigma ** 2 - sigma_next ** 2)
                         / sigma ** 2)
-    sigma_down = jnp.sqrt(sigma_next ** 2 - sigma_up ** 2)
+    sigma_down = _sqrt_sq_diff(sigma_next, sigma_up)
     return sigma_up, sigma_down
 
 
@@ -162,7 +175,7 @@ def sample_karras(denoise: DenoiseFn, noise: jax.Array, sigmas: jax.Array,
         s, sn, gamma, k = inputs
         sigma_hat = s + gamma * s
         epsilon = s_noise * jax.random.normal(k, x.shape, x.dtype)
-        x_hat = x + jnp.sqrt(sigma_hat ** 2 - s ** 2) * epsilon
+        x_hat = x + _sqrt_sq_diff(sigma_hat, s) * epsilon
         d = (x_hat - _batched(denoise, x_hat, sigma_hat)) / sigma_hat
         x_euler = x_hat + (sn - sigma_hat) * d
         # second-order correction, skipped when sigma_next == 0
