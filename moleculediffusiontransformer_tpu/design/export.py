@@ -37,20 +37,30 @@ import jax.numpy as jnp
 from jax import export as jexport
 
 __all__ = [
-    "export_jit", "export_sampler", "export_inpainter", "save_artifact",
-    "load_artifact", "serialize", "deserialize",
+    "export_jit", "export_sampler", "export_inpainter", "export_generator",
+    "save_artifact", "load_artifact", "serialize", "deserialize",
 ]
 
 
-def _spec_tree(tree: Any) -> Any:
+def _spec_tree(tree: Any, sharding=None) -> Any:
     """ShapeDtypeStruct skeleton of an array pytree (params -> specs).
-    ShapeDtypeStruct leaves (e.g. from ``jax.eval_shape``) pass through."""
+    ShapeDtypeStruct leaves (e.g. from ``jax.eval_shape``) pass through.
+    ``sharding`` (optional) is attached to every leaf — the exported
+    program then records the GSPMD partitioning per argument."""
     def one(x):
         if isinstance(x, jax.ShapeDtypeStruct):
-            return x
+            if sharding is None:
+                return x
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
         x = jnp.asarray(x)
-        return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
     return jax.tree_util.tree_map(one, tree)
+
+
+def _mesh_shardings(mesh, axis_name: str):
+    """(replicated, batch-sharded) NamedShardings for a serving mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P(axis_name))
 
 
 def export_jit(fn: Callable, *arg_specs: Any,
@@ -68,8 +78,10 @@ def export_jit(fn: Callable, *arg_specs: Any,
     return jexport.export(jax.jit(fn), **kwargs)(*specs)
 
 
-def _key_spec() -> jax.ShapeDtypeStruct:
-    return jax.ShapeDtypeStruct((2,), jnp.uint32)
+def _key_spec(sharding=None) -> jax.ShapeDtypeStruct:
+    if sharding is None:
+        return jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=sharding)
 
 
 def export_sampler(model, variables, *, batch: int,
@@ -78,7 +90,8 @@ def export_sampler(model, variables, *, batch: int,
                    sigma_max: float = 9.0, rho: float = 3.0,
                    num_conditioning: Optional[int] = None,
                    platforms: Optional[Sequence[str]] = None,
-                   allow_tpu_custom_calls: bool = False
+                   allow_tpu_custom_calls: bool = False,
+                   mesh=None, axis_name: str = "data"
                    ) -> jexport.Exported:
     """Export the full CFG sampling program for ``model``.
 
@@ -91,6 +104,14 @@ def export_sampler(model, variables, *, batch: int,
     a classic uint32[2] PRNG key.  Sampler hyperparameters (steps,
     cond_scale, schedule) are baked in — they select the traced program,
     exactly like the live `models.sample` static args.
+
+    ``mesh``: export the batch-parallel serving program — params
+    replicated, the batch axis of ``sequences`` (and the output) sharded
+    over ``axis_name``, exactly the live ``generate_from_conditioning
+    (mesh=...)`` partitioning.  The artifact records the GSPMD shardings
+    and the device count; the serving fleet calls it under a same-shape
+    mesh (``jax.set_mesh`` or sharded input arrays) and XLA partitions
+    the whole scan across its chips.  ``batch`` must divide the mesh.
     """
     from ..models.qm_diffusion import sample
     from ..ops import transformer_fusion
@@ -104,9 +125,16 @@ def export_sampler(model, variables, *, batch: int,
 
     n_cond = (model.context_embedding_max_length
               if num_conditioning is None else num_conditioning)
-    cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32)
-    return export_jit(fn, variables, cond, _key_spec(),
-                      platforms=platforms,
+    repl = batched = None
+    if mesh is not None:
+        if batch % mesh.devices.size:
+            raise ValueError(f"batch {batch} must divide the "
+                             f"{mesh.devices.size}-device mesh")
+        repl, batched = _mesh_shardings(mesh, axis_name)
+    cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32,
+                                sharding=batched)
+    return export_jit(fn, _spec_tree(variables, repl), cond,
+                      _key_spec(repl), platforms=platforms,
                       allow_tpu_custom_calls=allow_tpu_custom_calls)
 
 
@@ -142,6 +170,36 @@ def export_inpainter(model, variables, *, batch: int,
     return export_jit(fn, variables, cond, source, mask, _key_spec(),
                       platforms=platforms,
                       allow_tpu_custom_calls=allow_tpu_custom_calls)
+
+
+def export_generator(model, variables, *, batch: int, start_len: int = 1,
+                     tokens_to_generate: int = 63, cond_scale: float = 1.5,
+                     temperature: float = 1.0, filter_thres: float = 0.9,
+                     num_conditioning: Optional[int] = None,
+                     platforms: Optional[Sequence[str]] = None
+                     ) -> jexport.Exported:
+    """Export the KV-cached autoregressive CFG generation program for a
+    Sequence-family transformer (reference `transformer.py:786-838`
+    semantics; one jitted scan): ``call(variables, sequences, start_ids,
+    key) -> (batch, start_len + tokens_to_generate)`` int32 token ids,
+    with ``sequences`` the (batch, num_conditioning) property scalars and
+    ``start_ids`` the (batch, start_len) prompt (the '@' start token for
+    the QM9 presets)."""
+    from ..models.transformers import generate_sequence
+
+    def fn(variables, sequences, start_ids, key):
+        return generate_sequence(model, variables, sequences, start_ids,
+                                 key, tokens_to_generate=tokens_to_generate,
+                                 cond_scale=cond_scale,
+                                 temperature=temperature,
+                                 filter_thres=filter_thres)
+
+    n_cond = (model.max_text_len if num_conditioning is None
+              else num_conditioning)
+    cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32)
+    start = jax.ShapeDtypeStruct((batch, start_len), jnp.int32)
+    return export_jit(fn, variables, cond, start, _key_spec(),
+                      platforms=platforms)
 
 
 # --------------------------------------------------------- wire format --

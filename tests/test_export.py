@@ -100,3 +100,73 @@ def test_export_inpainter_roundtrip_matches_live(tiny_sampler):
         served = art.call(variables, props, source, mask, key)
     np.testing.assert_allclose(np.asarray(served), np.asarray(live),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_export_sampler_mesh_sharded_matches_single_device(tiny_sampler):
+    """Mesh-sharded export: the artifact records the batch-over-'data'
+    GSPMD partitioning and, called on an 8-device CPU mesh with sharded
+    inputs, reproduces the single-device artifact (same global noise draw
+    for an even batch, `design/inverse_design.py:179-185`; tolerance, not
+    bit-identity: the partitioned and unpartitioned programs are separate
+    compilations whose elementwise fusion/FMA contraction may differ)."""
+    from moleculediffusiontransformer_tpu.parallel.mesh import (
+        make_mesh, replicate, shard_batch)
+    model, variables = tiny_sampler
+    mesh = make_mesh(8, backend="cpu")
+    with jax.default_device(CPU):
+        exported = dexport.export_sampler(
+            model, variables, batch=8, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",), mesh=mesh)
+        assert exported.nr_devices == 8
+        art = dexport.deserialize(dexport.serialize(exported))
+
+        key = jax.random.PRNGKey(9)
+        props = jax.random.uniform(key, (8, 12), minval=-1.0, maxval=1.0)
+        sharded = art.call(replicate(mesh, variables),
+                           shard_batch(mesh, props),
+                           replicate(mesh, key))
+
+        single = dexport.export_sampler(
+            model, variables, batch=8, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        ref = single.call(variables, props, key)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_export_sampler_mesh_requires_even_batch(tiny_sampler):
+    from moleculediffusiontransformer_tpu.parallel.mesh import make_mesh
+    model, variables = tiny_sampler
+    mesh = make_mesh(8, backend="cpu")
+    with pytest.raises(ValueError, match="divide"):
+        dexport.export_sampler(model, variables, batch=6, num_steps=4,
+                               platforms=("cpu",), mesh=mesh)
+
+
+def test_export_generator_roundtrip_matches_live():
+    """AR-generation artifact (KV-cached CFG scan) must reproduce the live
+    generate_sequence token-for-token after a bytes roundtrip."""
+    from moleculediffusiontransformer_tpu.models import (
+        MoleculeTransformerSequence)
+    from moleculediffusiontransformer_tpu.models.transformers import (
+        generate_sequence)
+    model = MoleculeTransformerSequence(dim=32, depth=2, logits_dim=24,
+                                        dim_head=8, heads=4,
+                                        text_embed_dim=16, max_text_len=12)
+    with jax.default_device(CPU):
+        key = jax.random.PRNGKey(0)
+        props = jax.random.uniform(key, (2, 12), minval=-1.0, maxval=1.0)
+        start = jnp.ones((2, 1), jnp.int32)
+        variables = model.init(key, props, start, cond_drop_prob=0.0)
+
+        exported = dexport.export_generator(
+            model, variables, batch=2, start_len=1, tokens_to_generate=6,
+            cond_scale=1.5, platforms=("cpu",))
+        art = dexport.deserialize(dexport.serialize(exported))
+
+        gkey = jax.random.PRNGKey(3)
+        live = generate_sequence(model, variables, props, start, gkey,
+                                 tokens_to_generate=6, cond_scale=1.5)
+        served = art.call(variables, props, start, gkey)
+    assert served.shape == (2, 7)
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(live))

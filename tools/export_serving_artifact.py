@@ -54,7 +54,19 @@ def main():
                    choices=["bfloat16", "float32"])
     p.add_argument("--fused", action="store_true",
                    help="export the Pallas megakernel path (TPU-only)")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="export the batch-parallel serving program over an "
+                   "N-device mesh (params replicated, batch sharded over "
+                   "'data'); N virtual CPU devices stand in at export time "
+                   "— the artifact runs on any same-size device mesh")
     args = p.parse_args()
+
+    if args.mesh_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                f"{args.mesh_devices}").strip()
 
     from moleculediffusiontransformer_tpu.design import export as dexport
 
@@ -74,11 +86,16 @@ def main():
                 lambda s: jnp.zeros(s.shape, s.dtype),
                 variables))["params"]}
 
+    mesh = None
+    if args.mesh_devices:
+        from moleculediffusiontransformer_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.mesh_devices, backend="cpu")
+
     exported = dexport.export_sampler(
         model, variables, batch=args.batch, num_steps=args.steps,
         cond_scale=args.cond_scale,
         platforms=tuple(args.platforms.split(",")),
-        allow_tpu_custom_calls=args.fused)
+        allow_tpu_custom_calls=args.fused, mesh=mesh)
     dexport.save_artifact(exported, args.output)
     size = os.path.getsize(args.output)
     print(f"wrote {args.output} ({size/1e6:.2f} MB): "
