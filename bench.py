@@ -179,8 +179,33 @@ def bench_train(model, variables):
     }))
 
 
+def _require_device(timeout_s: float = 900.0) -> None:
+    """Fail fast (nonzero exit, one stderr line) if backend init hangs.
+
+    The axon plugin retries a down tunnel forever inside
+    ``make_c_api_client``; without this guard a dead tunnel turns the
+    bench into an unbounded hang instead of a reportable failure."""
+    import sys
+    import threading
+    done = threading.Event()
+    devs = []
+
+    def probe():
+        devs.append(jax.devices())
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(f"bench: jax backend init did not complete in {timeout_s:.0f}s"
+              " (TPU tunnel down?) — aborting", file=sys.stderr)
+        import os
+        os._exit(2)  # the init thread is unkillable; don't hang at exit
+
+
 def main():
     from moleculediffusiontransformer_tpu.ops import transformer_fusion
+    _require_device()
     model = _model()
     key = jax.random.PRNGKey(0)
     props = jnp.zeros((2, 12))
