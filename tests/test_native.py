@@ -70,3 +70,33 @@ def test_native_throughput(corpus):
     assert np.array_equal(a, b)
     # informational; assert only a loose bound so CI variance can't flake it
     assert t_native < t_numpy * 2, (t_native, t_numpy)
+
+
+def test_native_fuzz_matches_numpy(corpus):
+    """Property fuzz: arbitrary strings (unknown ASCII, multi-byte UTF-8,
+    empty, longer than max_length) must agree with the numpy path exactly.
+    UTF-8 bytes of a non-vocab char are all >= 0x80 and can never collide
+    with the (ASCII) vocab, so byte-wise C++ and char-wise python drop the
+    same things."""
+    _, tok = corpus
+    if not native.available():
+        pytest.skip("native unavailable")
+    from hypothesis import given, settings, strategies as st
+
+    text = st.text(
+        alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(text, min_size=1, max_size=8),
+           st.integers(min_value=1, max_value=48))
+    def check(texts, max_length):
+        got = native.tokenize_pad(texts, tok.word_index, max_length)
+        ref = pad_sequences(tok.texts_to_sequences(texts), max_length)
+        assert np.array_equal(got, ref)
+        goth = native.tokenize_one_hot(texts, tok.word_index, max_length,
+                                       tok.num_tokens)
+        refh = one_hot_signed(ref, tok.num_tokens)
+        assert np.array_equal(goth, refh)
+
+    check()
