@@ -202,6 +202,18 @@ def export_generator(model, variables, *, batch: int, start_len: int = 1,
                       platforms=platforms)
 
 
+def variables_skeleton(exported: jexport.Exported) -> Any:
+    """Zero-filled pytree of the artifact's FIRST call argument (the
+    variables), rebuilt from the artifact's own input specs — a serving
+    process can restore a msgpack checkpoint into it without any model
+    code: ``restore_checkpoint(path, {"params":
+    variables_skeleton(art)["params"]})``."""
+    import numpy as np
+    flat = [np.zeros(a.shape, a.dtype) for a in exported.in_avals]
+    args, _kwargs = jax.tree_util.tree_unflatten(exported.in_tree, flat)
+    return args[0]
+
+
 # --------------------------------------------------------- wire format --
 
 def serialize(exported: jexport.Exported) -> bytes:

@@ -170,3 +170,31 @@ def test_export_generator_roundtrip_matches_live():
         served = art.call(variables, props, start, gkey)
     assert served.shape == (2, 7)
     np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
+
+
+def test_variables_skeleton_restores_checkpoint(tiny_sampler, tmp_path):
+    """Serving without model code: rebuild the params tree from the
+    artifact's own input specs, restore a msgpack checkpoint into it, and
+    reproduce the live model's output exactly."""
+    from moleculediffusiontransformer_tpu.core.checkpoint import (
+        restore_checkpoint, save_checkpoint)
+    model, variables = tiny_sampler
+    with jax.default_device(CPU):
+        exported = dexport.export_sampler(
+            model, variables, batch=2, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        art = dexport.deserialize(dexport.serialize(exported))
+
+        path = str(tmp_path / "ck.msgpack")
+        save_checkpoint(path, jax.device_get(variables))
+
+        skel = dexport.variables_skeleton(art)
+        assert jax.tree_util.tree_structure(skel) == \
+            jax.tree_util.tree_structure(jax.device_get(variables))
+        restored = restore_checkpoint(path, skel)
+
+        key = jax.random.PRNGKey(2)
+        props = jnp.zeros((2, 12), jnp.float32)
+        a = art.call(restored, props, key)
+        b = art.call(variables, props, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
