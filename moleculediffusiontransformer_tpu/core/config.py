@@ -140,6 +140,14 @@ class TrainConfig:
     # (production: async background saves + mesh-aware sharded restore,
     # core/checkpoint_orbax.py).
     checkpoint_backend: str = "msgpack"
+    # Param/optimizer placement over the mesh: "replicated" (pure DP, the
+    # production default at ≤91M params) or "fsdp" (ZeRO-3: params + Adam
+    # moments sharded over the 'data' axis, ~Nx less state memory per
+    # chip; parallel/fsdp.py).
+    param_sharding: str = "replicated"
+    # FSDP only: leaves smaller than this stay replicated (biases, norm
+    # scales — sharding them buys nothing and costs collective latency).
+    fsdp_min_elements: int = 16384
 
 
 def forward_diffusion_qm9() -> QMDiffusionConfig:

@@ -4,3 +4,4 @@ from .mesh import (batch_sharding, make_mesh, pad_to_multiple, replicate,
 from .multihost import (distributed_init, make_global_mesh, mesh_process_count,
                         process_local_batch_size, replicate_global,
                         shard_batch_global)
+from .fsdp import fsdp_specs, shard_state_fsdp, state_sharding

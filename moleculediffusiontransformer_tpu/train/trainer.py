@@ -53,7 +53,8 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 def make_diffusion_train_step(model, tx: optax.GradientTransformation,
                               donate: bool = True,
                               remat: bool = False,
-                              accumulation_steps: int = 1) -> Callable:
+                              accumulation_steps: int = 1,
+                              state_sharding=None) -> Callable:
     """Jitted step for the QM diffusion models:
     ``state, (X, y), key -> state, loss`` where the model's __call__ is
     ``(conditioning, target, key) -> loss``.
@@ -72,7 +73,13 @@ def make_diffusion_train_step(model, tx: optax.GradientTransformation,
     per-chip batch ceiling — batch 1024 crashes a single v5e with or
     without it; the envelope is ≤512/chip and costs ~13% with remat on.
     Scale batch via data parallelism or ``accumulation_steps`` instead;
-    remat remains useful for deeper models."""
+    remat remains useful for deeper models.
+
+    ``state_sharding`` (a ``NamedSharding`` pytree matching the state,
+    e.g. ``parallel.fsdp.state_sharding(specs, mesh)``) pins the UPDATED
+    state's placement so FSDP/TP layouts survive the step — without it
+    GSPMD may re-replicate the output and silently forfeit the sharded
+    optimizer's memory savings."""
 
     def loss_fn(params, conditioning, target, key):
         return model.apply({"params": params}, conditioning, target, key)
@@ -82,8 +89,12 @@ def make_diffusion_train_step(model, tx: optax.GradientTransformation,
 
     A = accumulation_steps
     assert A >= 1, accumulation_steps
+    jit_kwargs = {"donate_argnums": (0,) if donate else ()}
+    if state_sharding is not None:
+        # (state, loss): pin the state, let the compiler place the loss
+        jit_kwargs["out_shardings"] = (state_sharding, None)
 
-    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    @partial(jax.jit, **jit_kwargs)
     def train_step(state: TrainState, conditioning, target, key):
         key = jax.random.fold_in(key, state.step)
         if A == 1:
@@ -265,7 +276,26 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
     params = model.init(rng, jnp.asarray(init_conditioning),
                         jnp.asarray(init_target), rng)["params"]
     state = TrainState.create(params, tx)
-    state = replicate(mesh, state)
+    state_specs = None          # replicated; or per-leaf FSDP PartitionSpecs
+    state_out_sharding = None
+    if config.param_sharding == "fsdp":
+        from ..parallel.fsdp import (shard_state_fsdp,
+                                     state_sharding as _fsdp_sharding)
+        state, state_specs = shard_state_fsdp(
+            state, mesh, min_elements=config.fsdp_min_elements)
+        state_out_sharding = _fsdp_sharding(state_specs, mesh)
+    else:
+        assert config.param_sharding == "replicated", config.param_sharding
+        state = replicate(mesh, state)
+
+    def _place(host_state):
+        """Put a host-restored state back into its mesh placement."""
+        if state_specs is None:
+            return replicate(mesh, host_state)
+        from jax.sharding import NamedSharding
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            host_state, state_specs)
 
     if resume and checkpoint_dir:
         if orbax_ck is not None:
@@ -273,15 +303,17 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
                 # sharded restore: leaves land DIRECTLY in their mesh
                 # placement (no full-tree host staging then re-shard)
                 from ..core.checkpoint_orbax import shard_restore_target
-                state = orbax_ck.restore(shard_restore_target(state, mesh))
+                state = orbax_ck.restore(
+                    shard_restore_target(state, mesh,
+                                         param_spec=state_specs))
         else:
             ckpt = latest_checkpoint(checkpoint_dir)
             if ckpt:
-                state = restore_checkpoint(ckpt, state)
-                state = replicate(mesh, state)
+                state = _place(restore_checkpoint(ckpt, state))
 
     train_step = make_diffusion_train_step(
-        model, tx, accumulation_steps=config.accumulation_steps)
+        model, tx, accumulation_steps=config.accumulation_steps,
+        state_sharding=state_out_sharding)
     data_key = jax.random.PRNGKey(config.seed + 1)
 
     t0 = time.time()
