@@ -185,6 +185,38 @@ def test_train_diffusion_fsdp_end_to_end(mesh):
         p.addressable_shards[0].data.size == p.size // 8 for p in big)
 
 
+def test_train_diffusion_fsdp_msgpack_resume(mesh, tmp_path):
+    """msgpack checkpoint resume under FSDP: the restored host tree must be
+    re-placed into its FSDP shardings (trainer `_place`), continuing from
+    the saved step with sharded leaves."""
+    from moleculediffusiontransformer_tpu.train import train_diffusion
+    model = tiny_model()
+    rng = np.random.RandomState(1)
+    X = rng.randn(16, 8, 6).astype(np.float32)
+    y = rng.randn(16, 12).astype(np.float32)
+
+    def data_iter():
+        yield X, y
+
+    ckdir = str(tmp_path / "ck")
+    cfg = TrainConfig(learning_rate=1e-3, epochs=2, print_loss_every=1,
+                      preflight_memory_check=False, prefetch=0,
+                      param_sharding="fsdp", fsdp_min_elements=8)
+    with jax.default_device(jax.devices("cpu")[0]):
+        s1, _ = train_diffusion(model, data_iter, cfg, init_conditioning=y[:2],
+                                init_target=X[:2], mesh=mesh,
+                                checkpoint_dir=ckdir)
+        cfg2 = TrainConfig(**{**cfg.__dict__, "epochs": 1})
+        s2, _ = train_diffusion(model, data_iter, cfg2,
+                                init_conditioning=y[:2], init_target=X[:2],
+                                mesh=mesh, checkpoint_dir=ckdir, resume=True)
+    assert int(s2.step) == int(s1.step) + 1
+    big = [p for p in jax.tree_util.tree_leaves(s2.params)
+           if p.size >= 8 and any(d % 8 == 0 for d in p.shape)]
+    assert big and all(
+        p.addressable_shards[0].data.size == p.size // 8 for p in big)
+
+
 def test_fsdp_orbax_sharded_restore(mesh, tiny_state, tmp_path):
     """Checkpoint round-trip straight into FSDP placement: restored leaves
     land sharded (no host staging then re-shard) and equal the originals."""
