@@ -188,11 +188,15 @@ def _require_device(timeout_s: float = 900.0) -> None:
     import sys
     import threading
     done = threading.Event()
-    devs = []
+    devs, err = [], []
 
     def probe():
-        devs.append(jax.devices())
-        done.set()
+        try:
+            devs.append(jax.devices())
+        except BaseException as e:  # fast failure ≠ hang: report it as-is
+            err.append(e)
+        finally:
+            done.set()
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
@@ -201,6 +205,8 @@ def _require_device(timeout_s: float = 900.0) -> None:
               " (TPU tunnel down?) — aborting", file=sys.stderr)
         import os
         os._exit(2)  # the init thread is unkillable; don't hang at exit
+    if err:
+        raise err[0]
 
 
 def main():

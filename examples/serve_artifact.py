@@ -39,7 +39,6 @@ def main():
     p.add_argument("--rows", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
-    args.tiny = False  # load_dataset compat
 
     from moleculediffusiontransformer_tpu.design import (decode_one_hot,
                                                          evaluate_generated,

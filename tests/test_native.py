@@ -81,6 +81,7 @@ def test_native_fuzz_matches_numpy(corpus):
     _, tok = corpus
     if not native.available():
         pytest.skip("native unavailable")
+    pytest.importorskip("hypothesis")
     from hypothesis import given, settings, strategies as st
 
     text = st.text(
