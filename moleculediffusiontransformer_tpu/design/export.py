@@ -38,6 +38,7 @@ from jax import export as jexport
 
 __all__ = [
     "export_jit", "export_sampler", "export_inpainter", "export_generator",
+    "export_encoder", "variables_skeleton",
     "save_artifact", "load_artifact", "serialize", "deserialize",
 ]
 
@@ -200,6 +201,30 @@ def export_generator(model, variables, *, batch: int, start_len: int = 1,
     start = jax.ShapeDtypeStruct((batch, start_len), jnp.int32)
     return export_jit(fn, variables, cond, start, _key_spec(),
                       platforms=platforms)
+
+
+def export_encoder(model, variables, *, batch: int, max_length: int = 64,
+                   platforms: Optional[Sequence[str]] = None
+                   ) -> jexport.Exported:
+    """Export the forward property-regression program
+    (``MoleculeTransformerSequenceEncoder`` — the single deterministic
+    forward pass of reference `generative.py:1864-1913`):
+    ``call(variables, ids) -> logits`` with ``ids`` (batch, max_length)
+    int32 padded token ids (start/end chars included, keras padding) and
+    ``logits`` the raw scaled-property output — apply
+    ``scaler.inverse_transform`` host-side, as the live
+    ``design.predict_properties_from_smiles_transformer`` does.
+
+    With this, all four notebook workflows serve as AOT artifacts:
+    inverse/forward diffusion (``export_sampler``), constrained design
+    (``export_inpainter``), AR generation (``export_generator``), and
+    property prediction (this)."""
+
+    def fn(variables, ids):
+        return model.apply(variables, ids)
+
+    ids = jax.ShapeDtypeStruct((batch, max_length), jnp.int32)
+    return export_jit(fn, variables, ids, platforms=platforms)
 
 
 def variables_skeleton(exported: jexport.Exported) -> Any:

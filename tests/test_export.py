@@ -172,6 +172,29 @@ def test_export_generator_roundtrip_matches_live():
     np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
 
 
+def test_export_encoder_roundtrip_matches_live():
+    """Forward property-regression artifact: logits must equal the live
+    encoder apply bit-for-bit after a bytes roundtrip."""
+    from moleculediffusiontransformer_tpu.models import (
+        MoleculeTransformerSequenceEncoder)
+    model = MoleculeTransformerSequenceEncoder(
+        dim=32, depth=2, heads=4, ff_mult=2, logits_dim=1,
+        logits_dim_length=12, max_length=16, max_tokens=24, embed_dim=8)
+    with jax.default_device(CPU):
+        key = jax.random.PRNGKey(0)
+        ids = jax.random.randint(key, (3, 16), 0, 24)
+        variables = model.init(key, ids)
+        exported = dexport.export_encoder(model, variables, batch=3,
+                                          max_length=16, platforms=("cpu",))
+        art = dexport.deserialize(dexport.serialize(exported))
+        # jit the oracle: eager vs compiled differ by fusion rounding
+        # (~2e-7); the artifact must match the COMPILED program exactly
+        live = jax.jit(model.apply)(variables, ids)
+        served = art.call(variables, ids)
+    assert served.shape == live.shape
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(live))
+
+
 def test_variables_skeleton_restores_checkpoint(tiny_sampler, tmp_path):
     """Serving without model code: rebuild the params tree from the
     artifact's own input specs, restore a msgpack checkpoint into it, and
