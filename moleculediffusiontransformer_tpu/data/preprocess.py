@@ -30,8 +30,11 @@ class MinMaxScaler:
         self.data_min_ = x.min(axis=0)
         self.data_max_ = x.max(axis=0)
         data_range = self.data_max_ - self.data_min_
-        # sklearn guards zero-range features by treating range as 1
-        data_range = np.where(data_range == 0.0, 1.0, data_range)
+        # sklearn's _handle_zeros_in_scale: a NEAR-constant feature
+        # (range < 10*eps, not just exactly 0) keeps range 1 — dividing by
+        # a denormal-scale range would explode the transform
+        data_range = np.where(
+            data_range < 10 * np.finfo(np.float64).eps, 1.0, data_range)
         self.scale_ = (hi - lo) / data_range
         self.min_ = lo - self.data_min_ * self.scale_
         return self

@@ -263,3 +263,69 @@ def test_threaded_loader_abandoned_generator_stops_worker():
     next(it)
     it.close()                      # GeneratorExit -> finally -> close()
     assert ldr._thread is None
+
+
+# ---------------------------------------------------------------- fuzz --
+
+def test_preprocess_fuzz_vs_sklearn():
+    """Property fuzz vs the sklearn oracles over adversarial inputs the
+    fixed-seed tests above don't reach: constant (zero-range) columns,
+    huge/tiny magnitudes, single rows, ragged test_size fractions."""
+    sk_pre = pytest.importorskip("sklearn.preprocessing")
+    skms = pytest.importorskip("sklearn.model_selection")
+    skm = pytest.importorskip("sklearn.metrics")
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+    from hypothesis.extra import numpy as hnp
+
+    finite = st.floats(min_value=-1e12, max_value=1e12, allow_nan=False,
+                       width=64)
+
+    @settings(max_examples=120, deadline=None)
+    @given(hnp.arrays(np.float64,
+                      hnp.array_shapes(min_dims=2, max_dims=2,
+                                       min_side=1, max_side=40),
+                      elements=finite),
+           st.booleans())
+    def check_scaler(x, constant_col):
+        if constant_col:
+            x[:, 0] = 7.25        # force the zero-range guard path
+        ours = MinMaxScaler((-1, 1)).fit(x)
+        theirs = sk_pre.MinMaxScaler(feature_range=(-1, 1)).fit(x)
+        np.testing.assert_allclose(ours.transform(x), theirs.transform(x),
+                                   rtol=1e-9, atol=1e-9)
+        y = ours.transform(x)
+        # roundtrip error is inherently ~eps * data_range (cancellation
+        # against the column offset), identical for sklearn — scale atol
+        atol = 64 * np.finfo(np.float64).eps * (np.abs(x).max() + 1.0)
+        np.testing.assert_allclose(ours.inverse_transform(y), x,
+                                   rtol=1e-9, atol=atol)
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.integers(min_value=2, max_value=997),
+           st.floats(min_value=0.01, max_value=0.9),
+           st.integers(min_value=0, max_value=2**31 - 1))
+    def check_split(n, frac, seed):
+        if int(np.ceil(frac * n)) >= n:
+            return      # empty train set: sklearn raises, nothing to pin
+        x = np.arange(n)
+        tr, te = train_test_split_indices(n, frac, seed)
+        sk_tr, sk_te = skms.train_test_split(x, test_size=frac,
+                                             random_state=seed)
+        np.testing.assert_array_equal(x[tr], sk_tr)
+        np.testing.assert_array_equal(x[te], sk_te)
+
+    @settings(max_examples=120, deadline=None)
+    @given(hnp.arrays(np.float64, st.integers(min_value=2, max_value=64),
+                      elements=st.floats(min_value=-1e6, max_value=1e6,
+                                         allow_nan=False, width=64)),
+           st.randoms(use_true_random=False))
+    def check_r2(y_true, rnd):
+        y_pred = y_true + np.asarray(
+            [rnd.uniform(-1.0, 1.0) for _ in y_true])
+        assert abs(r2_score(y_true, y_pred)
+                   - skm.r2_score(y_true, y_pred)) < 1e-9
+
+    check_scaler()
+    check_split()
+    check_r2()
