@@ -5,3 +5,4 @@ from .multihost import (distributed_init, make_global_mesh, mesh_process_count,
                         process_local_batch_size, replicate_global,
                         shard_batch_global)
 from .fsdp import fsdp_specs, shard_state_fsdp, state_sharding
+from .sp import seq_sharding, shard_batch_sp, shard_seq
