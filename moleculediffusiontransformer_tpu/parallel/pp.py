@@ -130,7 +130,8 @@ def shard_stacked(mesh: Mesh, stacked: Dict[str, Any],
 def pipeline_layers(mesh: Mesh, apply_layer: Callable,
                     stacked: Dict[str, Any], rest: Dict[str, Any],
                     x_micro: jax.Array, cond_micro: jax.Array,
-                    mask_micro: jax.Array, axis: str = "stage") -> jax.Array:
+                    mask_micro: jax.Array, axis: str = "stage",
+                    data_axis: Optional[str] = None) -> jax.Array:
     """Run the microbatches through the layer pipeline; returns y_micro.
 
     ``stacked`` leaves carry the leading ``depth`` axis (sharded over
@@ -138,8 +139,14 @@ def pipeline_layers(mesh: Mesh, apply_layer: Callable,
     (n_micro, mb, L_ctx, C), ``mask_micro`` (n_micro, mb, L_ctx) are
     replicated — only stage 0 reads fresh microbatches, the rest arrive by
     ``ppermute``.  Differentiable end-to-end (GPipe backward by transpose).
+
+    ``data_axis`` composes pp with DP on a 2-D (data, stage) mesh: each
+    microbatch's CONTENT (the mb dim) is sharded over `data_axis`, so the
+    same pipeline schedule runs in parallel on batch slices — the only
+    cross-'data' traffic is the gradient psum jit inserts in the backward.
     """
     n_stages = mesh.shape[axis]
+    dspec = P(None, data_axis) if data_axis else P()
     depth = jax.tree_util.tree_leaves(stacked)[0].shape[0]
     if depth % n_stages:
         raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
@@ -185,8 +192,8 @@ def pipeline_layers(mesh: Mesh, apply_layer: Callable,
 
     return jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P()),
-        out_specs=P(),
+        in_specs=(P(axis), P(), dspec, dspec, dspec),
+        out_specs=dspec,
         check_vma=False,  # stage-gated writes are device-varying by design
     )(stacked, rest, x_micro, cond_micro, mask_micro)
 
@@ -196,7 +203,8 @@ def pipeline_forward(model, params: Dict[str, Any], sequences: jax.Array,
                      return_loss: bool = False,
                      cond_drop_prob: float = 0.0,
                      key: Optional[jax.Array] = None,
-                     axis: str = "stage"):
+                     axis: str = "stage",
+                     data_axis: Optional[str] = None):
     """Full ``MoleculeTransformer`` forward with the trunk pipelined.
 
     Embedding / conditioning / final head run replicated (they are tiny);
@@ -226,7 +234,7 @@ def pipeline_forward(model, params: Dict[str, Any], sequences: jax.Array,
     cond_m = split_microbatches(cond, n_micro)
     mask_m = split_microbatches(text_mask, n_micro)
     y_m = pipeline_layers(mesh, make_layer_apply(model), stacked, rest,
-                          x_m, cond_m, mask_m, axis)
+                          x_m, cond_m, mask_m, axis, data_axis)
     y = y_m.reshape((-1,) + y_m.shape[2:])
     logits = model.apply({"params": params}, y, method=post)
     if not return_loss:

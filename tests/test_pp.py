@@ -11,6 +11,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from moleculediffusiontransformer_tpu.models import MoleculeTransformer
 from moleculediffusiontransformer_tpu.parallel import make_mesh
@@ -79,6 +80,33 @@ def test_pipeline_loss_and_grads_match_sequential(mesh, tiny):
     l1, g1 = jax.value_and_grad(loss_seq)(params)
     l2, g2 = jax.value_and_grad(loss_pp)(params)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pipeline_composes_with_dp(tiny):
+    """2-D ('data', 'stage') mesh: microbatch contents sharded over 'data',
+    layers over 'stage' — same logits and loss grads as sequential."""
+    model, params, seq, vecs = tiny
+    devs = np.asarray(jax.devices("cpu")[:8]).reshape(2, 4)
+    mesh2 = Mesh(devs, ("data", "stage"))
+
+    want = model.apply({"params": params}, seq, vecs, cond_drop_prob=0.0)
+    got = pipeline_forward(model, params, seq, vecs, mesh=mesh2, n_micro=2,
+                           data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_seq(p):
+        return model.apply({"params": p}, seq, vecs, cond_drop_prob=0.0,
+                           return_loss=True)
+
+    def loss_pp(p):
+        return pipeline_forward(model, p, seq, vecs, mesh=mesh2, n_micro=2,
+                                return_loss=True, data_axis="data")
+
+    g1 = jax.grad(loss_seq)(params)
+    g2 = jax.grad(loss_pp)(params)
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
