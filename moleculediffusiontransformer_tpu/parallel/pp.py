@@ -205,20 +205,30 @@ def pipeline_forward(model, params: Dict[str, Any], sequences: jax.Array,
                      key: Optional[jax.Array] = None,
                      axis: str = "stage",
                      data_axis: Optional[str] = None):
-    """Full ``MoleculeTransformer`` forward with the trunk pipelined.
+    """Full AR-decoder forward with the trunk pipelined.
 
+    Works for every ``_DecoderBase`` subclass: the continuous
+    ``MoleculeTransformer`` (MSE objective, ``transformer.py:683-685``)
+    and the token-ID decoders (``MoleculeTransformerSequence`` /
+    ``...Internaldim``, shifted cross-entropy, ``transformer.py:884-886``).
     Embedding / conditioning / final head run replicated (they are tiny);
     the depth-``n`` layer stack streams through the 'stage' axis.  With
-    ``return_loss`` gives the reference MSE objective
-    (``transformer.py:683-685``), so ``jax.grad`` of this IS a pipeline
-    train step.
+    ``return_loss`` this IS the training objective, so ``jax.grad`` of it
+    is a pipeline train step.
     """
+    continuous = hasattr(model, "embed_vectors")
+
     def pre(mdl, sequences, output, key):
         cond = mdl.embed_conditioning(sequences)
-        x = mdl.embed_vectors(output)
         target = None
-        if return_loss:
-            x, target = x[:, :-1], x[:, 1:, :mdl.logits_dim]
+        if continuous:
+            x = mdl.embed_vectors(output)
+            if return_loss:
+                x, target = x[:, :-1], x[:, 1:, :mdl.logits_dim]
+        else:
+            x = mdl.embed_tokens(output)
+            if return_loss:
+                target = output[:, 1:]
         cond, text_mask = mdl._text_mask(cond, None, cond_drop_prob, key)
         return mdl.init_norm(x), cond, text_mask, target
 
@@ -239,4 +249,7 @@ def pipeline_forward(model, params: Dict[str, Any], sequences: jax.Array,
     logits = model.apply({"params": params}, y, method=post)
     if not return_loss:
         return logits
-    return jnp.mean(jnp.square(logits - target))
+    if continuous:
+        return jnp.mean(jnp.square(logits - target))
+    from ..models.transformers import cross_entropy_mean
+    return cross_entropy_mean(logits[:, :-1], target)

@@ -13,7 +13,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from moleculediffusiontransformer_tpu.models import MoleculeTransformer
+from moleculediffusiontransformer_tpu.models import (
+    MoleculeTransformer, MoleculeTransformerSequence)
 from moleculediffusiontransformer_tpu.parallel import make_mesh
 from moleculediffusiontransformer_tpu.parallel.pp import (
     pipeline_forward, split_microbatches, stack_layer_params,
@@ -75,6 +76,37 @@ def test_pipeline_loss_and_grads_match_sequential(mesh, tiny):
 
     def loss_pp(p):
         return pipeline_forward(model, p, seq, vecs, mesh=mesh, n_micro=2,
+                                return_loss=True)
+
+    l1, g1 = jax.value_and_grad(loss_seq)(params)
+    l2, g2 = jax.value_and_grad(loss_pp)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pipeline_forward_token_decoder(mesh):
+    """The token-ID decoder (the paper's inverse transformer) pipelines
+    too: logits, shifted-CE loss, and grads match the sequential stack."""
+    model = MoleculeTransformerSequence(
+        dim=32, depth=4, logits_dim=10, dim_head=8, heads=4,
+        text_embed_dim=16, max_text_len=12)
+    seq = jnp.linspace(-1, 1, 4 * 12).reshape(4, 12)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (4, 6), 0, 10)
+    params = model.init(jax.random.PRNGKey(0), seq, ids,
+                        cond_drop_prob=0.0)["params"]
+
+    want = model.apply({"params": params}, seq, ids, cond_drop_prob=0.0)
+    got = pipeline_forward(model, params, seq, ids, mesh=mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_seq(p):
+        return model.apply({"params": p}, seq, ids, cond_drop_prob=0.0,
+                           return_loss=True)
+
+    def loss_pp(p):
+        return pipeline_forward(model, p, seq, ids, mesh=mesh, n_micro=2,
                                 return_loss=True)
 
     l1, g1 = jax.value_and_grad(loss_seq)(params)
