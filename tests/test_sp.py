@@ -105,3 +105,37 @@ def test_sp_train_step_equals_replicated_oracle(mesh, tiny_state):
     for a, b in zip(jax.tree_util.tree_leaves(state_1.params),
                     jax.tree_util.tree_leaves(state_sp.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sp_audio_model1d_long_sequence(mesh):
+    """The MOTIVATING case: an audio-lineage Model1d (reference
+    `model.py:1-210`) at L=256 with the waveform's length axis sharded —
+    loss and gradients equal the replicated oracle."""
+    from moleculediffusiontransformer_tpu.diffusion import (
+        UniformDistribution)
+    from moleculediffusiontransformer_tpu.models import Model1d
+
+    model = Model1d(in_channels=4, diffusion_type="v",
+                    diffusion_sigma_distribution=UniformDistribution(),
+                    channels=16, multipliers=(1, 2), factors=(2,),
+                    num_blocks=(1,), attentions=(0,), patch_size=2,
+                    attention_heads=2, attention_features=8,
+                    attention_multiplier=2)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (8, 256, 4)))
+    key = jax.random.PRNGKey(0)
+    variables = model.init(jax.random.PRNGKey(2), x[:2], key)
+
+    f = jax.jit(jax.value_and_grad(
+        lambda p, xx, kk: model.apply({"params": p}, xx, kk)))
+    loss_1, g_1 = f(variables["params"], x, key)
+
+    params_r = replicate(mesh, variables["params"])
+    x_s = jax.device_put(x, seq_sharding(mesh))
+    key_r = jax.device_put(key, NamedSharding(mesh, P()))
+    loss_sp, g_sp = f(params_r, x_s, key_r)
+
+    np.testing.assert_allclose(float(loss_1), float(loss_sp), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_1),
+                    jax.tree_util.tree_leaves(g_sp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
