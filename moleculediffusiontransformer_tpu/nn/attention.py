@@ -90,6 +90,16 @@ def packed_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     prec = mm_precision(dtype)
 
     if g <= 1:
+        from ..ops.flash_attention import (LONG_SEQ_THRESHOLD, _on_tpu,
+                                           flash_attention)
+        if (_on_tpu() and min(n, m) >= LONG_SEQ_THRESHOLD
+                and n % 128 == 0 and m % 128 == 0):
+            # audio-lineage long sequences: stream K/V blockwise (forward
+            # and backward Pallas kernels) instead of materializing the
+            # (n, m) score matrix in HBM
+            out = flash_attention(q.reshape(bh, n, d), k.reshape(bh, m, d),
+                                  v.reshape(bh, m, d), scale=scale)
+            return out.reshape(b, h, n, d)
         sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                          preferred_element_type=jnp.float32,
                          precision=prec) * scale

@@ -137,8 +137,9 @@ def pipeline_layers(mesh: Mesh, apply_layer: Callable,
     ``stacked`` leaves carry the leading ``depth`` axis (sharded over
     `axis`); ``x_micro`` (n_micro, mb, L, dim), ``cond_micro``
     (n_micro, mb, L_ctx, C), ``mask_micro`` (n_micro, mb, L_ctx) are
-    replicated — only stage 0 reads fresh microbatches, the rest arrive by
-    ``ppermute``.  Differentiable end-to-end (GPipe backward by transpose).
+    replicated over `axis` — only stage 0 reads fresh microbatches, the
+    rest arrive by ``ppermute``.  Differentiable end-to-end (GPipe
+    backward by transpose).
 
     ``data_axis`` composes pp with DP on a 2-D (data, stage) mesh: each
     microbatch's CONTENT (the mb dim) is sharded over `data_axis`, so the

@@ -1,0 +1,110 @@
+"""Blockwise flash attention (ops/flash_attention.py) vs the one-shot
+softmax composition — interpret mode on CPU (same kernel program the TPU
+compiles).  The online-softmax rescaling must be exact, not approximate.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moleculediffusiontransformer_tpu.ops.flash_attention import (
+    _flash_jnp, flash_attention)
+
+
+def _qkv(key, bh, n, m, d, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (bh, n, d), dtype)
+    k = jax.random.normal(kk, (bh, m, d), dtype)
+    v = jax.random.normal(kv, (bh, m, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("n,m,block_q,block_kv", [
+    (256, 256, 128, 128),   # multi-block both ways
+    (512, 256, 128, 256),   # rectangular, cross-attention shape
+    (128, 1024, 128, 256),  # long KV sweep (4 online rescales)
+])
+def test_flash_matches_one_shot_fp32(n, m, block_q, block_kv):
+    q, k, v = _qkv(jax.random.PRNGKey(0), 4, n, m, 16)
+    want = _flash_jnp(q, k, v, 16 ** -0.5)
+    got = flash_attention(q, k, v, block_q=block_q, block_kv=block_kv,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_flash_single_block_degenerates():
+    """One KV block = plain softmax attention (no rescale steps)."""
+    q, k, v = _qkv(jax.random.PRNGKey(1), 2, 128, 128, 32)
+    want = _flash_jnp(q, k, v, 32 ** -0.5)
+    got = flash_attention(q, k, v, block_q=128, block_kv=128,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_flash_bf16_close_to_fp32_oracle():
+    q, k, v = _qkv(jax.random.PRNGKey(2), 2, 256, 256, 16, jnp.bfloat16)
+    want = _flash_jnp(q.astype(jnp.float32), k.astype(jnp.float32),
+                      v.astype(jnp.float32), 16 ** -0.5)
+    got = flash_attention(q, k, v, block_q=128, block_kv=128,
+                          interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=2e-2)
+
+
+def test_flash_extreme_logits_stable():
+    """Large-magnitude scores across blocks: the running max must keep the
+    kernel finite where a naive exp(s) overflows."""
+    q, k, v = _qkv(jax.random.PRNGKey(3), 2, 128, 512, 16)
+    q = q * 40.0  # logits ~ +-400 after the dot
+    want = _flash_jnp(q, k, v, 1.0)
+    got = flash_attention(q, k, v, scale=1.0, block_q=128, block_kv=128,
+                          interpret=True)
+    assert np.all(np.isfinite(np.asarray(got)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_flash_indivisible_falls_back():
+    q, k, v = _qkv(jax.random.PRNGKey(4), 2, 130, 130, 16)
+    want = _flash_jnp(q, k, v, 16 ** -0.5)
+    got = flash_attention(q, k, v, block_q=128, block_kv=128,
+                          interpret=True)   # 130 % 128 != 0 -> jnp path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_flash_equals_packed_sdpa_at_dispatch_shape():
+    """At the long-L shape where packed_sdpa routes to flash on TPU, the
+    kernel must equal the einsum path packed_sdpa uses everywhere else."""
+    from moleculediffusiontransformer_tpu.nn.attention import packed_sdpa
+    b, h, n, d = 2, 2, 512, 32
+    key = jax.random.PRNGKey(6)
+    q, k, v = _qkv(key, b * h, n, n, d)
+    q4 = q.reshape(b, h, n, d)
+    k4 = k.reshape(b, h, n, d)
+    v4 = v.reshape(b, h, n, d)
+    want = packed_sdpa(q4, k4, v4, d ** -0.5, jnp.float32)  # einsum on CPU
+    got = flash_attention(q, k, v, block_q=256, block_kv=256,
+                          interpret=True).reshape(b, h, n, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=2e-6)
+
+
+def test_flash_grads_match_composition():
+    """The kernel has no custom vjp — jax differentiates the scan of
+    pallas_call blocks; grads must equal the composition's."""
+    q, k, v = _qkv(jax.random.PRNGKey(5), 2, 256, 256, 16)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_flash_jnp(q, k, v, 16 ** -0.5) ** 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_kv=128,
+                                       interpret=True) ** 2)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=1e-4)
