@@ -92,8 +92,8 @@ def test_flash_equals_packed_sdpa_at_dispatch_shape():
 
 
 def test_flash_grads_match_composition():
-    """The kernel has no custom vjp — jax differentiates the scan of
-    pallas_call blocks; grads must equal the composition's."""
+    """The custom-vjp streaming backward (dQ and dK/dV kernels) must equal
+    the composition's grads."""
     q, k, v = _qkv(jax.random.PRNGKey(5), 2, 256, 256, 16)
 
     def f_ref(q, k, v):
@@ -108,3 +108,40 @@ def test_flash_grads_match_composition():
     for a, b in zip(g_ref, g_fl):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=5e-5, rtol=1e-4)
+
+
+def _tpu_available():
+    try:
+        return any(d.platform == "tpu" for d in jax.devices())
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
+def test_flash_compiled_on_tpu_matches_composition():
+    """The COMPILED Mosaic kernels (forward AND backward, not interpret
+    mode) must match the XLA one-shot composition on the real chip at a
+    long-L audio shape, in bf16."""
+    q, k, v = _qkv(jax.random.PRNGKey(7), 4, 1024, 1024, 64, jnp.bfloat16)
+
+    ref = jax.jit(lambda q, k, v: _flash_jnp(q, k, v, 64 ** -0.5))(q, k, v)
+    out = jax.jit(lambda q, k, v: flash_attention(q, k, v))(q, k, v)
+    d = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                              - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
+    assert d / scale < 0.05, (d, scale)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_flash_jnp(q, k, v, 64 ** -0.5)
+                       .astype(jnp.float32) ** 2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v).astype(jnp.float32) ** 2)
+
+    g_ref = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(q, k, v)
+    g_fl = jax.jit(jax.grad(f_flash, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(g_ref, g_fl):
+        da = float(jnp.max(jnp.abs(b.astype(jnp.float32)
+                                   - a.astype(jnp.float32))))
+        sa = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-6
+        assert da / sa < 0.08, (da, sa)
