@@ -91,8 +91,9 @@ def packed_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
 
     if g <= 1:
         from ..ops.flash_attention import (LONG_SEQ_THRESHOLD, _on_tpu,
-                                           flash_attention)
-        if (_on_tpu() and min(n, m) >= LONG_SEQ_THRESHOLD
+                                           flash_attention, flash_enabled)
+        if (flash_enabled() and _on_tpu()
+                and min(n, m) >= LONG_SEQ_THRESHOLD
                 and n % 128 == 0 and m % 128 == 0):
             # audio-lineage long sequences: stream K/V blockwise (forward
             # and backward Pallas kernels) instead of materializing the

@@ -45,6 +45,15 @@ _LANES = 128
 LONG_SEQ_THRESHOLD = 512
 
 
+def flash_enabled() -> bool:
+    """Auto-routing gate for ``nn.attention.packed_sdpa``: stream long-L
+    attention through the Pallas kernels unless ``MDT_FLASH=0`` (A/B
+    benchmarking and numerics debugging — same override idiom as
+    ``MDT_FUSION``).  ``flash_attention`` itself stays callable either way."""
+    import os
+    return os.environ.get("MDT_FLASH", "1") not in ("0", "false", "off")
+
+
 def _on_tpu() -> bool:
     """TPU default backend AND no CPU `jax.default_device` override (the
     documented numerics-debugging idiom must not hit Mosaic lowering —

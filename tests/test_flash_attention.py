@@ -110,6 +110,30 @@ def test_flash_grads_match_composition():
                                    atol=5e-5, rtol=1e-4)
 
 
+def test_mdt_flash_gate_controls_routing(monkeypatch):
+    """packed_sdpa's long-L auto-route must honor MDT_FLASH: ON traces the
+    Pallas kernel into the jaxpr, OFF keeps the einsum composition."""
+    import importlib
+    from moleculediffusiontransformer_tpu.nn import attention as attn_mod
+    fa = importlib.import_module(
+        "moleculediffusiontransformer_tpu.ops.flash_attention")
+
+    monkeypatch.setattr(fa, "_on_tpu", lambda: True)
+    b, h, n, d = 1, 2, 512, 32
+    q, k, v = (x.reshape(b, h, n, d) for x in _qkv(
+        jax.random.PRNGKey(8), b * h, n, n, d))
+
+    def jaxpr_text():
+        return str(jax.make_jaxpr(
+            lambda q, k, v: attn_mod.packed_sdpa(q, k, v, d ** -0.5,
+                                                 jnp.float32))(q, k, v))
+
+    monkeypatch.setenv("MDT_FLASH", "0")
+    assert "pallas_call" not in jaxpr_text()
+    monkeypatch.setenv("MDT_FLASH", "1")
+    assert "pallas_call" in jaxpr_text()
+
+
 def _tpu_available():
     try:
         return any(d.platform == "tpu" for d in jax.devices())
