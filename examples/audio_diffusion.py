@@ -164,8 +164,61 @@ def demo_ar(key, full: bool):
     print("AR sampled:", out.shape, f"({4} chunks of {chunk})")
 
 
+def demo_upphaser(key, full: bool):
+    """Upsampler trained with random-rephase augmentation
+    (reference `model.py:179-195, 386-392`)."""
+    from moleculediffusiontransformer_tpu.models import (
+        AudioDiffusionUpphaser, DiffusionUpphaser1d, sample_upsampler)
+    banner("AudioDiffusionUpphaser (rephase augmentation)")
+    if full:
+        model, length = AudioDiffusionUpphaser(in_channels=1), 2 ** 15
+    else:
+        model, length = DiffusionUpphaser1d(
+            in_channels=1, factor=(1,), stft_num_fft=15, stft_hop_length=4,
+            context_channels=(1,), **TINY), 256
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, length, 1))
+    variables = model.init(k2, x, k2)
+    check_loss_and_grad(
+        lambda p: model.apply({"params": p}, x, k2), variables["params"])
+    out = sample_upsampler(model, variables, x, k2, factor=1, num_steps=4)
+    print("rephased:", out.shape)
+
+
+def demo_conditional(key, full: bool):
+    """CFG text/embedding-conditioned waveform diffusion
+    (reference `model.py:365-392`): conditioning dropout at train,
+    embedding_scale at sampling."""
+    from moleculediffusiontransformer_tpu.models import (
+        AudioDiffusionConditional, Model1d, sample_model1d)
+    banner("AudioDiffusionConditional (CFG)")
+    if full:
+        model, length = AudioDiffusionConditional(
+            embedding_features=768, embedding_max_length=64,
+            in_channels=2), 2 ** 15
+        feats, ctx_len = 768, 64
+    else:
+        feats, ctx_len = 16, 8
+        model, length = Model1d(
+            in_channels=2, unet_type="cfg", context_embedding_features=feats,
+            context_embedding_max_length=ctx_len, **TINY), 256
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, length, 2))
+    emb = jax.random.normal(k2, (2, ctx_len, feats))    # e.g. T5 states
+    variables = model.init(k3, x, k3, embedding=emb)
+    check_loss_and_grad(
+        lambda p: model.apply({"params": p}, x, k3, embedding=emb,
+                              embedding_mask_proba=0.1,
+                              rngs={"cfg": k3}),
+        variables["params"])
+    noise = jax.random.normal(k3, x.shape)
+    out = sample_model1d(model, variables, noise, k3, num_steps=4,
+                         embedding=emb, embedding_scale=5.0)
+    print("sampled (cond_scale 5.0):", out.shape)
+
+
 DEMOS = [demo_model, demo_upsampler, demo_autoencoder, demo_vocoder,
-         demo_ar]
+         demo_ar, demo_upphaser, demo_conditional]
 
 
 def main():
