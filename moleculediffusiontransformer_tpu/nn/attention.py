@@ -91,15 +91,18 @@ def packed_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
 
     if g <= 1:
         from ..ops.flash_attention import (LONG_SEQ_THRESHOLD, _on_tpu,
-                                           flash_attention, flash_enabled)
-        if (flash_enabled() and _on_tpu()
+                                           flash_attention, flash_enabled,
+                                           flash_interpret)
+        interp = flash_interpret()
+        if (flash_enabled() and (_on_tpu() or interp)
                 and min(n, m) >= LONG_SEQ_THRESHOLD
                 and n % 128 == 0 and m % 128 == 0):
             # audio-lineage long sequences: stream K/V blockwise (forward
             # and backward Pallas kernels) instead of materializing the
             # (n, m) score matrix in HBM
             out = flash_attention(q.reshape(bh, n, d), k.reshape(bh, m, d),
-                                  v.reshape(bh, m, d), scale=scale)
+                                  v.reshape(bh, m, d), scale=scale,
+                                  interpret=interp)
             return out.reshape(b, h, n, d)
         sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                          preferred_element_type=jnp.float32,

@@ -54,6 +54,15 @@ def flash_enabled() -> bool:
     return os.environ.get("MDT_FLASH", "1") not in ("0", "false", "off")
 
 
+def flash_interpret() -> bool:
+    """``MDT_FLASH_INTERPRET=1`` routes the auto-dispatch through the
+    kernels in Pallas interpret mode even off-TPU — slow, test-only: lets
+    CPU suites pin the module-level flash path (head folding, reshapes,
+    custom vjp) without a chip."""
+    import os
+    return os.environ.get("MDT_FLASH_INTERPRET", "0") in ("1", "true", "on")
+
+
 def _on_tpu() -> bool:
     """TPU default backend AND no CPU `jax.default_device` override (the
     documented numerics-debugging idiom must not hit Mosaic lowering —

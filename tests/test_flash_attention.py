@@ -134,6 +134,37 @@ def test_mdt_flash_gate_controls_routing(monkeypatch):
     assert "pallas_call" in jaxpr_text()
 
 
+def test_flash_module_level_integration(monkeypatch):
+    """The FULL Attention module at a long-L audio shape, run through the
+    interpret-mode flash route (MDT_FLASH_INTERPRET), must equal the
+    composition (MDT_FLASH=0) in outputs AND grads — pins the module's
+    head folding / reshapes / custom vjp end-to-end on CPU."""
+    from moleculediffusiontransformer_tpu.nn.attention import Attention
+
+    module = Attention(features=32, head_features=16, num_heads=2)
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 512, 32))
+    variables = module.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, x):
+        return jnp.sum(module.apply({"params": params}, x) ** 2)
+
+    monkeypatch.setenv("MDT_FLASH", "0")
+    out_ref = module.apply(variables, x)
+    g_ref = jax.grad(loss, argnums=(0, 1))(variables["params"], x)
+
+    monkeypatch.delenv("MDT_FLASH", raising=False)
+    monkeypatch.setenv("MDT_FLASH_INTERPRET", "1")
+    out_fl = module.apply(variables, x)
+    g_fl = jax.grad(loss, argnums=(0, 1))(variables["params"], x)
+
+    np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out_ref),
+                               atol=5e-6, rtol=5e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fl)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5, rtol=1e-4)
+
+
 def _tpu_available():
     try:
         return any(d.platform == "tpu" for d in jax.devices())
