@@ -74,6 +74,45 @@ def test_samplers_finite_over_envelope(sampler, schedule, sigma_min, ratio,
         assert float(jnp.max(jnp.abs(out))) <= 1.0
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.sampled_from(["v", "k", "vk"]),
+       st.lists(st.floats(min_value=1e-4, max_value=1e3, allow_nan=False),
+                min_size=2, max_size=2),
+       st.floats(min_value=0.01, max_value=10.0, allow_nan=False))
+def test_objective_loss_and_denoise_finite(alias, sigma_vals, sigma_data):
+    """V/K/VK losses and denoise must stay finite across extreme sigmas
+    (K's loss weight ~ 1/sigma^2 and VK's trig reparameterization are the
+    risk spots)."""
+    from moleculediffusiontransformer_tpu.diffusion.objectives import (
+        make_objective)
+    obj = make_objective(alias, sigma_data=sigma_data)
+    net = lambda xn, t: xn * 0.9
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 8, 3)).astype(np.float32))
+    sigmas = jnp.asarray(sigma_vals, jnp.float32)
+    noise = jnp.asarray(
+        np.random.default_rng(2).normal(size=x.shape).astype(np.float32))
+    with jax.disable_jit():
+        loss = obj.loss(net, x, sigmas, noise)
+        den = obj.denoise(net, x, sigmas)
+    assert np.isfinite(float(loss)), (alias, sigma_vals, sigma_data)
+    assert bool(jnp.all(jnp.isfinite(den)))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.sampled_from(["lognormal", "uniform", "vk"]),
+       st.integers(min_value=1, max_value=16))
+def test_sigma_distributions_finite_positive_shape(name, n):
+    from moleculediffusiontransformer_tpu.diffusion.distributions import (
+        make_distribution)
+    dist = make_distribution(name)
+    s = dist(jax.random.PRNGKey(3), n)
+    assert s.shape == (n,)
+    assert bool(jnp.all(jnp.isfinite(s)))
+    if name != "vk":   # vk mirrors the reference's randn-CDF quirk (signed)
+        assert bool(jnp.all(s >= 0))
+
+
 @settings(max_examples=20, deadline=None)
 @given(_sigma_min, _sigma_ratio, _steps)
 def test_adpm2_deterministic_given_key(sigma_min, ratio, n):
