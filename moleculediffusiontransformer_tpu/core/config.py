@@ -148,6 +148,14 @@ class TrainConfig:
     # FSDP only: leaves smaller than this stay replicated (biases, norm
     # scales — sharding them buys nothing and costs collective latency).
     fsdp_min_elements: int = 16384
+    # Learning-rate schedule: "constant" (reference parity — the notebooks
+    # train fixed-LR Adam, `generative.py:1130-1134`) or "cosine"
+    # (optax warmup+cosine decay to learning_rate * lr_min_ratio over
+    # lr_decay_steps, after lr_warmup_steps of linear warmup from 0).
+    lr_schedule: str = "constant"
+    lr_warmup_steps: int = 0
+    lr_decay_steps: Optional[int] = None
+    lr_min_ratio: float = 0.0
 
 
 def forward_diffusion_qm9() -> QMDiffusionConfig:

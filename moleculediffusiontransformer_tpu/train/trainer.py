@@ -43,10 +43,29 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
-    """Adam + global-norm clip, matching `generative.py:1130-1134`."""
+    """Adam + global-norm clip, matching `generative.py:1130-1134`.
+
+    ``lr_schedule="constant"`` (default) is reference parity; ``"cosine"``
+    adds linear warmup over ``lr_warmup_steps`` then cosine decay to
+    ``learning_rate * lr_min_ratio`` over ``lr_decay_steps`` — a
+    beyond-reference production knob (the schedule is step-indexed, so
+    resume-from-checkpoint restores it through the optimizer state)."""
+    if config.lr_schedule == "constant":
+        lr = config.learning_rate
+    elif config.lr_schedule == "cosine":
+        if config.lr_decay_steps is None:
+            raise ValueError("lr_schedule='cosine' needs lr_decay_steps")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if config.lr_warmup_steps else config.learning_rate,
+            peak_value=config.learning_rate,
+            warmup_steps=config.lr_warmup_steps,
+            decay_steps=config.lr_decay_steps,
+            end_value=config.learning_rate * config.lr_min_ratio)
+    else:
+        raise ValueError(f"Unknown lr_schedule: {config.lr_schedule!r}")
     return optax.chain(
         optax.clip_by_global_norm(config.grad_clip_norm),
-        optax.adam(config.learning_rate),
+        optax.adam(lr),
     )
 
 

@@ -476,3 +476,39 @@ def test_orbax_accepts_relative_directory(tmp_path, tiny, monkeypatch):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lr_schedule_cosine_decays_and_constant_is_default():
+    """lr_schedule='cosine': warmup ramps the effective step size up, decay
+    shrinks it toward learning_rate * lr_min_ratio; the default stays the
+    reference's fixed-LR Adam (identical update trajectory)."""
+    import optax
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+
+    def step_sizes(tx, n):
+        state = tx.init(params)
+        sizes = []
+        for _ in range(n):
+            updates, state = tx.update(grads, state, params)
+            sizes.append(float(jnp.max(jnp.abs(updates["w"]))))
+        return sizes
+
+    cfg = TrainConfig(learning_rate=1e-3, lr_schedule="cosine",
+                      lr_warmup_steps=4, lr_decay_steps=16,
+                      lr_min_ratio=0.1)
+    sizes = step_sizes(make_optimizer(cfg), 16)
+    assert sizes[0] < sizes[3] < sizes[4] * 1.01          # warmup ramps up
+    assert sizes[-1] < sizes[4] * 0.25                    # cosine decays
+    assert sizes[-1] > 0                                  # floor > 0
+
+    # default config == plain fixed-LR Adam + clip (reference parity)
+    base = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(2e-4))
+    np.testing.assert_allclose(step_sizes(make_optimizer(TrainConfig()), 5),
+                               step_sizes(base, 5), rtol=0, atol=0)
+
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(lr_schedule="cosine"))  # needs decay_steps
+    with pytest.raises(ValueError):
+        make_optimizer(TrainConfig(lr_schedule="bogus"))
