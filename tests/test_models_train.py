@@ -512,3 +512,36 @@ def test_lr_schedule_cosine_decays_and_constant_is_default():
         make_optimizer(TrainConfig(lr_schedule="cosine"))  # needs decay_steps
     with pytest.raises(ValueError):
         make_optimizer(TrainConfig(lr_schedule="bogus"))
+
+
+def test_lr_schedule_position_survives_checkpoint_resume(tmp_path):
+    """The cosine schedule is indexed by the optimizer state's own count,
+    so save->restore->step must produce EXACTLY the update a never-
+    interrupted run produces at that step."""
+    from moleculediffusiontransformer_tpu.core.checkpoint import (
+        restore_checkpoint, save_step_checkpoint)
+
+    cfg = TrainConfig(learning_rate=1e-3, lr_schedule="cosine",
+                      lr_warmup_steps=2, lr_decay_steps=12,
+                      lr_min_ratio=0.0)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+
+    # uninterrupted oracle: 6 updates
+    state = tx.init(params)
+    oracle = []
+    for _ in range(6):
+        updates, state = tx.update(grads, state, params)
+        oracle.append(np.asarray(updates["w"]))
+
+    # interrupted: 3 updates, checkpoint, restore into a fresh tx, 3 more
+    state = tx.init(params)
+    for _ in range(3):
+        updates, state = tx.update(grads, state, params)
+    path = save_step_checkpoint(str(tmp_path), jax.device_get(state), 3)
+    tx2 = make_optimizer(cfg)
+    restored = restore_checkpoint(path, tx2.init(params))
+    for i in range(3, 6):
+        updates, restored = tx2.update(grads, restored, params)
+        np.testing.assert_array_equal(np.asarray(updates["w"]), oracle[i])
