@@ -84,19 +84,24 @@ def _syntactic_smiles_valid(smi: str) -> bool:
 
 
 def smiles_is_valid(smi: str) -> bool:
-    """Validity = RDKit parse succeeds (reference `generative.py:954-961`);
-    syntactic fallback when RDKit is unavailable."""
+    """Validity = RDKit parse succeeds (reference `generative.py:954-961`).
+    When RDKit is unavailable, ``design.valence`` reproduces the chemistry
+    RDKit applies at parse time (grammar + kekulization + charge-adjusted
+    valences), so pentavalent carbons etc. are rejected — not just
+    malformed strings (the older grammar-only `_syntactic_smiles_valid`
+    remains for comparison)."""
     if HAS_RDKIT:
         mol = Chem.MolFromSmiles(smi)
         return mol is not None
-    return _syntactic_smiles_valid(smi)
+    from .valence import valence_smiles_valid
+    return valence_smiles_valid(smi)
 
 
 def canonicalize(smi: str) -> Optional[str]:
     if HAS_RDKIT:
         mol = Chem.MolFromSmiles(smi)
         return Chem.MolToSmiles(mol) if mol is not None else None
-    return smi if _syntactic_smiles_valid(smi) else None
+    return smi if smiles_is_valid(smi) else None
 
 
 def decode_one_hot(samples: np.ndarray, tokenizer: CharTokenizer) -> List[str]:

@@ -1,0 +1,284 @@
+"""Valence-aware SMILES validity — the no-RDKit fallback tier.
+
+The reference defines validity as "RDKit parses it"
+(`generative.py:954-961`).  Without RDKit, a grammar-only check passes
+chemically impossible strings (pentavalent carbon, divalent fluorine),
+inflating validity fractions.  This module implements the chemistry RDKit
+applies at parse time for the organic subset:
+
+  * full SMILES parse: organic-subset + bracket atoms (isotope, H-count,
+    charge, chirality), bonds (- = # : / \\), branches, ring closures
+    (shared-digit reuse, %nn), dot-separated fragments;
+  * kekulization of aromatic systems: every aromatic atom must sit in a
+    ring of the aromatic subgraph, and the pi-needy atoms (aromatic C
+    without an exocyclic multiple bond; pyridine-type N) must admit a
+    perfect matching of alternating double bonds — pyrrole-type n[H]/
+    3-connected n, and o/s, contribute lone pairs instead;
+  * valence check per atom against the allowed-valence table (charge-
+    adjusted): organic-subset atoms may fill up with implicit hydrogens
+    (valid iff bond-order sum <= max allowed), bracket atoms are exact
+    (bond sum + explicit H must hit an allowed valence).
+
+Known approximation vs RDKit: no Hückel 4n+2 electron count — an
+antiaromatic system written in lowercase (e.g. cyclobutadiene "c1ccc1")
+kekulizes here but RDKit rejects it.  Generated-QM9 traffic never hits
+this; when RDKit is present it wins anyway (`smiles_is_valid`).
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+# charge-adjusted allowed valences (RDKit default valence model for the
+# organic subset; tuples = multi-valent elements)
+_VALENCES: Dict[Tuple[str, int], Tuple[int, ...]] = {
+    ("B", 0): (3,), ("B", -1): (4,),
+    ("C", 0): (4,), ("C", 1): (3,), ("C", -1): (3,),
+    ("N", 0): (3,), ("N", 1): (4,), ("N", -1): (2,),
+    ("O", 0): (2,), ("O", 1): (3,), ("O", -1): (1,),
+    ("F", 0): (1,), ("F", -1): (0,),
+    ("P", 0): (3, 5), ("P", 1): (4,),
+    ("S", 0): (2, 4, 6), ("S", 1): (3, 5), ("S", -1): (1,),
+    ("Cl", 0): (1,), ("Cl", -1): (0,),
+    ("Br", 0): (1,), ("Br", -1): (0,),
+    ("I", 0): (1,), ("I", -1): (0,),
+    ("H", 0): (1,), ("H", 1): (0,), ("H", -1): (0,),
+}
+_AROMATIC_OK = {"b", "c", "n", "o", "p", "s"}
+_LONE_PAIR_AROMATIC = {"o", "s"}          # contribute the pair, never a pi
+
+_BRACKET_RE = re.compile(
+    r"^(?P<iso>\d+)?(?P<sym>[A-Z][a-z]?|[bcnops])(?P<chi>@{1,2})?"
+    r"(?P<h>H\d*)?(?P<chg>\+{1,3}|-{1,3}|\+\d|-\d)?$")
+_BOND_ORDER = {"-": 1, "=": 2, "#": 3, "/": 1, "\\": 1, ":": None}
+
+
+@dataclass
+class _Atom:
+    element: str
+    aromatic: bool
+    charge: int = 0
+    explicit_h: Optional[int] = None      # None = organic subset (implicit)
+    bonds: List[Tuple[int, Optional[int]]] = field(default_factory=list)
+    # bond order None = aromatic (to be kekulized)
+
+
+def _parse_bracket(body: str) -> Optional[_Atom]:
+    m = _BRACKET_RE.match(body)
+    if not m:
+        return None
+    sym = m.group("sym")
+    aromatic = sym[0].islower()
+    element = sym.capitalize() if aromatic else sym
+    if aromatic and sym not in _AROMATIC_OK:
+        return None
+    h = m.group("h")
+    hcount = 0 if h is None else (1 if h == "H" else int(h[1:]))
+    chg = m.group("chg") or ""
+    if chg and chg[-1].isdigit():
+        charge = int(chg[1:]) * (1 if chg[0] == "+" else -1)
+    else:
+        charge = chg.count("+") - chg.count("-")
+    return _Atom(element, aromatic, charge, hcount)
+
+
+def _tokenize_parse(smi: str) -> Optional[List[_Atom]]:
+    """Parse into an atom/bond graph; None on any grammar violation."""
+    atoms: List[_Atom] = []
+    prev: Optional[int] = None
+    stack: List[Optional[int]] = []
+    pending: Optional[str] = None         # explicit bond symbol awaiting use
+    rings: Dict[str, Tuple[int, Optional[str]]] = {}
+    i, n = 0, len(smi)
+
+    def add_bond(a: int, b: int, sym: Optional[str]) -> bool:
+        if a == b:
+            return False
+        if sym == ":" or (sym is None and atoms[a].aromatic
+                          and atoms[b].aromatic):
+            order: Optional[int] = None   # aromatic
+        else:
+            order = 1 if sym is None else _BOND_ORDER[sym]
+        if any(o == b for o, _ in atoms[a].bonds):
+            return False                  # duplicate bond
+        atoms[a].bonds.append((b, order))
+        atoms[b].bonds.append((a, order))
+        return True
+
+    def new_atom(atom: _Atom) -> bool:
+        nonlocal prev, pending
+        atoms.append(atom)
+        idx = len(atoms) - 1
+        if prev is not None:
+            if not add_bond(prev, idx, pending):
+                return False
+        elif pending is not None:
+            return False                  # bond with no left atom
+        pending = None
+        prev = idx
+        return True
+
+    while i < n:
+        ch = smi[i]
+        if ch == "[":
+            j = smi.find("]", i)
+            if j < 0:
+                return None
+            atom = _parse_bracket(smi[i + 1:j])
+            if atom is None or not new_atom(atom):
+                return None
+            i = j + 1
+        elif smi.startswith(("Cl", "Br"), i):
+            if not new_atom(_Atom(smi[i:i + 2], False)):
+                return None
+            i += 2
+        elif ch in "BCNOPSFI":
+            if not new_atom(_Atom(ch, False)):
+                return None
+            i += 1
+        elif ch in "bcnops":
+            if not new_atom(_Atom(ch.upper(), True)):
+                return None
+            i += 1
+        elif ch in _BOND_ORDER:
+            if pending is not None:
+                return None
+            pending = ch
+            i += 1
+        elif ch == "(":
+            if prev is None:
+                return None
+            stack.append(prev)
+            i += 1
+        elif ch == ")":
+            if not stack or pending is not None:
+                return None
+            prev = stack.pop()
+            i += 1
+        elif ch.isdigit() or ch == "%":
+            if ch == "%":
+                if i + 2 >= n or not smi[i + 1:i + 3].isdigit():
+                    return None
+                label, i = smi[i + 1:i + 3], i + 3
+            else:
+                label, i = ch, i + 1
+            if prev is None:
+                return None
+            if label in rings:
+                open_atom, open_sym = rings.pop(label)
+                sym = pending if pending is not None else open_sym
+                if (pending is not None and open_sym is not None
+                        and pending != open_sym):
+                    return None           # contradictory closure bonds
+                if not add_bond(open_atom, prev, sym):
+                    return None
+                pending = None
+            else:
+                rings[label] = (prev, pending)
+                pending = None
+        elif ch == ".":
+            if pending is not None or prev is None:
+                return None               # empty fragment / leading dot
+            prev = None
+            i += 1
+        else:
+            return None
+    if stack or rings or pending is not None or not atoms:
+        return None
+    if prev is None:                      # trailing dot: "C."
+        return None
+    return atoms
+
+
+def _kekulize(atoms: List[_Atom]) -> bool:
+    """Assign alternating double bonds over the aromatic subgraph; True if
+    a consistent assignment exists (orders are written back in place)."""
+    aro_adj: Dict[int, List[int]] = {}
+    for idx, a in enumerate(atoms):
+        nbrs = [o for o, order in a.bonds if order is None]
+        if a.aromatic or nbrs:
+            if not a.aromatic:
+                return False              # aromatic bond to aliphatic atom
+            aro_adj[idx] = nbrs
+    if not aro_adj:
+        return True
+    # every aromatic atom must sit in the aromatic subgraph's cycle space:
+    # >=2 aromatic neighbors (an aromatic atom dangling off a chain is not
+    # a molecule RDKit accepts)
+    for idx in aro_adj:
+        if len(aro_adj[idx]) < 2:
+            return False
+
+    def needs_pi(idx: int) -> bool:
+        a = atoms[idx]
+        elem = a.element.lower()
+        if elem in _LONE_PAIR_AROMATIC:
+            return False
+        if any(order is not None and order >= 2 for _, order in a.bonds):
+            return False                  # exocyclic multiple bond covers it
+        if elem == "n" or elem == "p":
+            # pyrrole-type: explicit H or 3 sigma connections (or anion)
+            # contribute the lone pair; pyridine-type needs the pi
+            degree = len(a.bonds) + (a.explicit_h or 0)
+            if (a.explicit_h or 0) > 0 or degree >= 3 or a.charge < 0:
+                return False
+            return True
+        if elem == "c" and a.charge != 0:
+            return False                  # tropylium-style: no pi needed
+        return True                       # aromatic C/B
+
+    needy = [i for i in aro_adj if needs_pi(i)]
+    needy_set = set(needy)
+    matched: Dict[int, int] = {}
+
+    def backtrack(pos: int) -> bool:
+        while pos < len(needy) and needy[pos] in matched:
+            pos += 1
+        if pos == len(needy):
+            return True
+        u = needy[pos]
+        for v in aro_adj[u]:
+            if v in needy_set and v not in matched:
+                matched[u] = v
+                matched[v] = u
+                if backtrack(pos + 1):
+                    return True
+                del matched[u], matched[v]
+        return False
+
+    if not backtrack(0):
+        return False
+    # write kekulized orders back: matched pairs get 2, the rest 1
+    for idx, a in enumerate(atoms):
+        a.bonds = [(o, (2 if matched.get(idx) == o and matched.get(o) == idx
+                        else 1) if order is None else order)
+                   for o, order in a.bonds]
+    return True
+
+
+def valence_smiles_valid(smi: str) -> bool:
+    """True iff ``smi`` parses AND every atom satisfies its (charge-
+    adjusted) allowed valence after kekulization — the RDKit-parse
+    approximation used when RDKit itself is absent."""
+    if not smi:
+        return False
+    atoms = _tokenize_parse(smi)
+    if atoms is None:
+        return False
+    if not _kekulize(atoms):
+        return False
+    for a in atoms:
+        allowed = _VALENCES.get((a.element, a.charge))
+        if allowed is None:
+            return False
+        bond_sum = sum(order for _, order in a.bonds)
+        if a.explicit_h is None:          # organic subset: implicit H fill
+            if not any(bond_sum <= v for v in allowed):
+                return False
+        else:                             # bracket atom: H count is fixed;
+            # under-valence is a radical (RDKit accepts [C], [CH2]),
+            # over-valence is rejected ([CH5], [NH4])
+            if bond_sum + a.explicit_h > max(allowed):
+                return False
+    return True
