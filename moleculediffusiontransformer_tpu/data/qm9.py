@@ -62,13 +62,120 @@ _SYNTH_ATOMS = ["C", "N", "O", "F"]
 _SYNTH_DECOR = ["", "1", "(", ")", "=", "#"]
 
 
-def synthetic_qm9(n: int = 2048, seed: int = 0,
-                  max_atoms: int = 9) -> Tuple[List[str], np.ndarray]:
-    """Deterministic QM9-schema stand-in: short organic-ish strings over the
-    QM9 character set + 12 correlated pseudo-properties.  NOT chemically
-    valid in general — used for pipeline tests and throughput benchmarks."""
+def _synth_properties(smiles: List[str],
+                      rng: np.random.RandomState) -> np.ndarray:
+    """12 correlated pseudo-properties: deterministic functions of the
+    string composition + small noise (shared by both synthetic modes)."""
+    n = len(smiles)
+    feats = np.zeros((n, NUM_PROPERTIES), dtype=np.float32)
+    for i, s in enumerate(smiles):
+        counts = np.array([s.count(a) for a in _SYNTH_ATOMS], dtype=np.float32)
+        base = np.concatenate([counts, [len(s), s.count("="), s.count("1"),
+                                        counts.sum()]])
+        proj = np.outer(np.arange(1, NUM_PROPERTIES + 1),
+                        np.arange(1, len(base) + 1)) % 7 - 3
+        feats[i] = proj @ base
+    feats += rng.randn(n, NUM_PROPERTIES).astype(np.float32) * 0.1
+    return feats
+
+
+_SYNTH_CAPACITY = {"C": 4, "N": 3, "O": 2, "F": 1}
+
+
+def _random_valid_molecule(rng: np.random.RandomState,
+                           max_atoms: int) -> str:
+    """One chemically valid QM9-style molecule: random spanning tree over
+    C/N/O/F with valence bookkeeping, occasional double/triple bonds, and
+    an optional single ring — emitted as SMILES by DFS."""
+    k = rng.randint(2, max_atoms + 1)
+    elems: List[str] = []
+    rem: List[int] = []                    # remaining valence per atom
+    children: List[List[Tuple[int, int]]] = []   # parent -> [(child, order)]
+    parent = [-1] * k
+    for i in range(k):
+        if i == 0:
+            e = _SYNTH_ATOMS[rng.randint(3)]           # not F: needs a child
+            elems.append(e)
+            rem.append(_SYNTH_CAPACITY[e])
+            children.append([])
+            continue
+        cands = [j for j in range(i) if rem[j] >= 1]
+        if not cands:
+            break
+        p = cands[rng.randint(len(cands))]
+        e = _SYNTH_ATOMS[rng.randint(4)]
+        order = 1
+        cap = _SYNTH_CAPACITY[e]
+        if cap >= 2 and rem[p] >= 2 and rng.rand() < 0.25:
+            order = 2
+            if cap >= 3 and rem[p] >= 3 and rng.rand() < 0.2:
+                order = 3
+        elems.append(e)
+        rem.append(cap - order)
+        children.append([])
+        parent[i] = p
+        children[p].append((i, order))
+        rem[p] -= order
+    k = len(elems)
+    # optional ring: two non-adjacent atoms with spare valence, tree
+    # distance >= 2 (ring size >= 3)
+    ring: Optional[Tuple[int, int]] = None
+    if k >= 3 and rng.rand() < 0.5:
+        def depth_path(i):
+            path = []
+            while i >= 0:
+                path.append(i)
+                i = parent[i]
+            return path
+        spare = [i for i in range(k) if rem[i] >= 1]
+        rng.shuffle(spare)
+        for a in spare:
+            pa = depth_path(a)
+            for b in spare:
+                if b <= a or parent[b] == a or parent[a] == b:
+                    continue
+                pb = depth_path(b)
+                common = next(x for x in pa if x in pb)
+                dist = pa.index(common) + pb.index(common)
+                if dist >= 2:
+                    ring = (a, b)
+                    break
+            if ring:
+                break
+    _BOND = {1: "", 2: "=", 3: "#"}
+
+    def emit(i: int) -> str:
+        s = elems[i]
+        if ring and i in ring:
+            s += "1"
+        kids = children[i]
+        parts = []
+        for idx, (c, order) in enumerate(kids):
+            sub = _BOND[order] + emit(c)
+            parts.append(sub if idx == len(kids) - 1 else f"({sub})")
+        return s + "".join(parts)
+
+    return emit(0)
+
+
+def synthetic_qm9(n: int = 2048, seed: int = 0, max_atoms: int = 9,
+                  chemically_valid: bool = False
+                  ) -> Tuple[List[str], np.ndarray]:
+    """Deterministic QM9-schema stand-in: short strings over the QM9
+    character set + 12 correlated pseudo-properties.
+
+    Default mode is organic-ish but NOT chemically valid in general —
+    kept byte-stable for pipeline tests and throughput benchmarks.
+    ``chemically_valid=True`` generates valence-correct molecules
+    (every string passes ``design.valence.valence_smiles_valid``), so
+    validity/novelty metrics carry meaning without the real CSV —
+    `tools/reproduce_baseline.py` uses this mode."""
     rng = np.random.RandomState(seed)
     smiles: List[str] = []
+    if chemically_valid:
+        for _ in range(n):
+            smiles.append(_random_valid_molecule(rng, max_atoms))
+        return smiles, _synth_properties(smiles, rng)
     for _ in range(n):
         length = rng.randint(3, max_atoms + 1)
         parts = []
@@ -87,17 +194,7 @@ def synthetic_qm9(n: int = 2048, seed: int = 0,
         if open_ring:
             parts.append("1")
         smiles.append("".join(parts))
-    # pseudo-properties: deterministic functions of composition + noise
-    feats = np.zeros((n, NUM_PROPERTIES), dtype=np.float32)
-    for i, s in enumerate(smiles):
-        counts = np.array([s.count(a) for a in _SYNTH_ATOMS], dtype=np.float32)
-        base = np.concatenate([counts, [len(s), s.count("="), s.count("1"),
-                                        counts.sum()]])
-        proj = np.outer(np.arange(1, NUM_PROPERTIES + 1),
-                        np.arange(1, len(base) + 1)) % 7 - 3
-        feats[i] = proj @ base
-    feats += rng.randn(n, NUM_PROPERTIES).astype(np.float32) * 0.1
-    return smiles, feats
+    return smiles, _synth_properties(smiles, rng)
 
 
 @dataclass

@@ -329,3 +329,24 @@ def test_preprocess_fuzz_vs_sklearn():
     check_scaler()
     check_split()
     check_r2()
+
+
+def test_synthetic_qm9_chemically_valid_mode():
+    """chemically_valid=True must emit 100% valence-correct molecules
+    (checked by design/valence.py), deterministically, with QM9-ish
+    diversity; the default mode's byte-stable stream must be untouched."""
+    from moleculediffusiontransformer_tpu.data.qm9 import synthetic_qm9
+    from moleculediffusiontransformer_tpu.design.valence import (
+        valence_smiles_valid)
+
+    sv, props = synthetic_qm9(300, seed=3, chemically_valid=True)
+    assert len(sv) == 300 and props.shape == (300, 12)
+    bad = [s for s in sv if not valence_smiles_valid(s)]
+    assert not bad, bad[:5]
+    assert len(set(sv)) > 150                      # diversity
+    sv2, props2 = synthetic_qm9(300, seed=3, chemically_valid=True)
+    assert sv == sv2 and np.array_equal(props, props2)
+
+    # default stream pinned (tests/benches depend on byte-stability)
+    s0, _ = synthetic_qm9(4, seed=0)
+    assert s0 == ["FC=F=F1FOF1", "CNN", "NNFF", "FO=C1FF=ONNF1"]

@@ -104,7 +104,10 @@ def main():
         smiles, props = load_qm9(args.csv, max_rows=args.rows)
         dataset = os.path.abspath(args.csv)
     else:
-        smiles, props = synthetic_qm9(n=args.rows or 4096, seed=args.seed)
+        # chemically_valid: valence-correct molecules, so validity/novelty
+        # metrics carry meaning even on the stand-in
+        smiles, props = synthetic_qm9(n=args.rows or 4096, seed=args.seed,
+                                      chemically_valid=True)
         dataset = "synthetic stand-in (pass --csv qm9_.csv for the real set)"
         print(f"NOTE: {dataset}")
 
