@@ -36,7 +36,10 @@ def load_dataset(args, mode: str, max_length=None):
     if args.csv:
         smiles, props = load_qm9(args.csv, max_rows=args.rows)
     else:
-        smiles, props = synthetic_qm9(n=args.rows or 2048, seed=args.seed)
+        # chemically_valid: valence-correct molecules so the printed
+        # validity/novelty numbers carry meaning (design/valence.py)
+        smiles, props = synthetic_qm9(n=args.rows or 2048, seed=args.seed,
+                                      chemically_valid=True)
         print("NOTE: using the synthetic QM9 stand-in (pass --csv for the "
               "real dataset)")
     return prepare_qm9(smiles, props, mode=mode, max_length=max_length)
