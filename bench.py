@@ -209,9 +209,45 @@ def _require_device(timeout_s: float = 900.0) -> None:
         raise err[0]
 
 
+def _require_compute(timeout_s: float = 600.0) -> None:
+    """Fail fast if the backend initializes but EXECUTION wedges.
+
+    Observed tunnel failure mode (2026-08-18): ``jax.devices()`` returns
+    the TPU client fine, then the first trivial dispatch never completes.
+    ``_require_device`` can't see that; this probe runs one tiny jitted
+    matmul + scalar transfer under the same watchdog so a wedged tunnel
+    becomes a reportable nonzero exit instead of an unbounded hang."""
+    import sys
+    import threading
+    done = threading.Event()
+    err = []
+
+    def probe():
+        try:
+            x = jnp.ones((128, 128), jnp.float32)
+            v = float(jax.jit(jnp.sum)(jax.jit(jnp.matmul)(x, x)))
+            assert v == 128.0 ** 3, v
+        except BaseException as e:
+            err.append(e)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(f"bench: first device computation did not complete in "
+              f"{timeout_s:.0f}s (TPU tunnel wedged?) — aborting",
+              file=sys.stderr)
+        import os
+        os._exit(2)  # the dispatch thread is unkillable; don't hang at exit
+    if err:
+        raise err[0]
+
+
 def main():
     from moleculediffusiontransformer_tpu.ops import transformer_fusion
     _require_device()
+    _require_compute()
     model = _model()
     key = jax.random.PRNGKey(0)
     props = jnp.zeros((2, 12))
