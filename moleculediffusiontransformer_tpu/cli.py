@@ -1,0 +1,297 @@
+"""Command-line interface: ``python -m moleculediffusiontransformer_tpu``.
+
+The packaged equivalent of the reference's four notebooks plus its
+serving/export story, one subcommand each:
+
+  info      backend, devices, kernel-path gates
+  train     train any of the four notebook models (tiny or notebook
+            preset), save a msgpack checkpoint, report held-out metrics
+  eval      held-out metrics for a checkpoint (R² / validity+novelty)
+  sample    inverse design: property targets -> SMILES
+            (diffusion sampler or KV-cached AR transformer)
+  predict   forward direction: SMILES -> 12 QM9 properties
+  export    AOT StableHLO serving artifact (``design/export.py``)
+
+Dataset flags mirror ``examples/``: ``--csv qm9_.csv`` for the reference
+set (reference README.md:30), synthetic valence-correct stand-in
+otherwise.  Reference flows: training `generative.py:1090-1180`,
+sampling `generative.py:1662-1738`, prediction `generative.py:664-711`
+and `:1864-1913`.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Optional
+
+
+def _dataset(args, mode: str):
+    from .data.qm9 import load_qm9, prepare_qm9, synthetic_qm9
+    if args.csv:
+        smiles, props = load_qm9(args.csv, max_rows=args.rows)
+    else:
+        smiles, props = synthetic_qm9(n=args.rows or 2048, seed=args.seed,
+                                      chemically_valid=True)
+        print("NOTE: synthetic stand-in dataset "
+              "(pass --csv qm9_.csv for the real set)", file=sys.stderr)
+    return prepare_qm9(smiles, props, mode=mode)
+
+
+def _data_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--csv", default=None,
+                   help="qm9_.csv (synthetic stand-in when omitted)")
+    p.add_argument("--rows", type=int, default=None,
+                   help="cap dataset rows")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def _model_flags(p: argparse.ArgumentParser, tasks) -> None:
+    p.add_argument("--task", default=tasks[0], choices=list(tasks))
+    p.add_argument("--preset", default="notebook",
+                   choices=("tiny", "notebook"),
+                   help="architecture scale (tiny: CPU-feasible smoke)")
+
+
+def _load(args, task: str, data, checkpoint: Optional[str]):
+    from .train import recipes
+    model = recipes.build_model(task, data.vocab_size, args.preset)
+    params, src = recipes.load_params(checkpoint, task, model)
+    if checkpoint is None:
+        print("NOTE: random-init params (pass --checkpoint)",
+              file=sys.stderr)
+    return model, {"params": params}
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload, indent=2, default=float))
+
+
+# ---------------------------------------------------------- subcommands ---
+
+def cmd_info(args) -> None:
+    import jax
+
+    import moleculediffusiontransformer_tpu as pkg
+    from .ops import transformer_fusion as tf
+    devices = jax.devices()
+    _emit({
+        "version": getattr(pkg, "__version__", "0.1.0"),
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in devices],
+        "device_count": len(devices),
+        "fusion_default": tf.fusion_enabled(),
+        "flash_attention": os.environ.get("MDT_FLASH", "1") != "0",
+    })
+
+
+def cmd_train(args) -> None:
+    import jax
+
+    from .core.config import TrainConfig
+    from .train import recipes
+    data = _dataset(args, recipes.data_mode(args.task))
+    model = recipes.build_model(args.task, data.vocab_size, args.preset)
+    config = TrainConfig(learning_rate=args.learning_rate,
+                         batch_size=args.batch_size, epochs=args.epochs,
+                         seed=args.seed,
+                         accumulation_steps=args.accumulation_steps)
+    params = recipes.train_task(args.task, model, data, config,
+                                checkpoint_dir=args.checkpoint_dir,
+                                resume=args.resume)
+    if args.out:
+        from .core.checkpoint import save_checkpoint
+        save_checkpoint(args.out, {"params": params})
+        print(f"saved {args.out}", file=sys.stderr)
+    metrics = recipes.eval_task(
+        args.task, model, {"params": params}, data, jax.random.PRNGKey(
+            args.seed), timesteps=args.timesteps,
+        num_rescore=args.num_eval, num_generate=args.num_eval)
+    _emit({"task": args.task, "preset": args.preset, "epochs": args.epochs,
+           **{k: v for k, v in metrics.items() if k != "sample_smiles"}})
+
+
+def cmd_eval(args) -> None:
+    import jax
+
+    from .train import recipes
+    data = _dataset(args, recipes.data_mode(args.task))
+    model, variables = _load(args, args.task, data, args.checkpoint)
+    metrics = recipes.eval_task(
+        args.task, model, variables, data, jax.random.PRNGKey(args.seed),
+        timesteps=args.timesteps, num_rescore=args.num_eval,
+        num_generate=args.num_eval)
+    _emit({"task": args.task, "checkpoint": args.checkpoint, **metrics})
+
+
+def cmd_sample(args) -> None:
+    import jax
+    import numpy as np
+
+    from .design import (generate_from_conditioning,
+                         generate_from_conditioning_transformer)
+    from .train import recipes
+    data = _dataset(args, recipes.data_mode(args.task))
+    model, variables = _load(args, args.task, data, args.checkpoint)
+    if args.properties:
+        props = np.asarray([[float(v) for v in row.split(",")]
+                            for row in args.properties], np.float32)
+        props = data.scaler.transform(props)  # physical units in
+    else:
+        props = np.asarray(data.y_test[:args.num])
+    key = jax.random.PRNGKey(args.seed)
+    if args.task == "inverse_diffusion":
+        report = generate_from_conditioning(
+            model, variables, props, data.tokenizer, key,
+            cond_scale=args.cond_scale, timesteps=args.timesteps,
+            training_smiles=data.smiles)
+    else:
+        report = generate_from_conditioning_transformer(
+            model, variables, props, data.tokenizer, key,
+            cond_scale=args.cond_scale,
+            tokens_to_generate=args.tokens,
+            training_smiles=data.smiles)
+    _emit({"task": args.task, "smiles": report["smiles"],
+           "validity_fraction": report["validity_fraction"],
+           "novelty_fraction": report["novelty_fraction"]})
+
+
+def cmd_predict(args) -> None:
+    import jax
+
+    from .design import (predict_properties_from_smiles,
+                         predict_properties_from_smiles_transformer)
+    from .train import recipes
+    data = _dataset(args, recipes.data_mode(args.task))
+    model, variables = _load(args, args.task, data, args.checkpoint)
+    if args.task == "forward_transformer":
+        preds = predict_properties_from_smiles_transformer(
+            model, variables, args.smiles, data.tokenizer, data.scaler)
+    else:
+        preds = predict_properties_from_smiles(
+            model, variables, args.smiles, data.tokenizer, data.scaler,
+            jax.random.PRNGKey(args.seed), timesteps=args.timesteps)
+    _emit({"task": args.task,
+           "predictions": {s: [float(v) for v in row]
+                           for s, row in zip(args.smiles, preds)}})
+
+
+def cmd_export(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .design import export as dexport
+    from .train import recipes
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = recipes.build_model(args.task, args.vocab, "notebook",
+                                dtype=dtype)
+    ia, kw = recipes.init_example(args.task, model,
+                                  max_length=args.max_length)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), *ia, **kw)
+    if args.checkpoint:
+        from .core.checkpoint import restore_checkpoint
+        variables = {"params": restore_checkpoint(
+            args.checkpoint, jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), variables))["params"]}
+    platforms = tuple(args.platforms.split(","))
+    if args.task in ("inverse_diffusion", "forward_diffusion"):
+        exported = dexport.export_sampler(
+            model, variables, batch=args.batch, num_steps=args.timesteps,
+            cond_scale=args.cond_scale, platforms=platforms)
+    elif args.task == "inverse_transformer":
+        exported = dexport.export_generator(
+            model, variables, batch=args.batch,
+            tokens_to_generate=args.tokens, cond_scale=args.cond_scale,
+            platforms=platforms)
+    else:
+        exported = dexport.export_encoder(
+            model, variables, batch=args.batch, max_length=args.max_length,
+            platforms=platforms)
+    dexport.save_artifact(exported, args.out)
+    print(f"wrote {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB)",
+          file=sys.stderr)
+    # full knob surface (--fused, --mesh-devices, tree validation):
+    # tools/export_serving_artifact.py
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from .train.recipes import TASKS
+    p = argparse.ArgumentParser(
+        prog="python -m moleculediffusiontransformer_tpu",
+        description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("info", help="backend + device + kernel-gate report"
+                   ).set_defaults(fn=cmd_info)
+
+    t = sub.add_parser("train", help="train a model, save checkpoint, eval")
+    _model_flags(t, TASKS)
+    _data_flags(t)
+    t.add_argument("--epochs", type=int, default=1)
+    t.add_argument("--batch-size", type=int, default=128)
+    t.add_argument("--learning-rate", type=float, default=2e-4)
+    t.add_argument("--accumulation-steps", type=int, default=1)
+    t.add_argument("--timesteps", type=int, default=100)
+    t.add_argument("--num-eval", type=int, default=8)
+    t.add_argument("--out", default=None, help="msgpack checkpoint path")
+    t.add_argument("--checkpoint-dir", default=None,
+                   help="step-checkpoint directory (resumable)")
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=cmd_train)
+
+    e = sub.add_parser("eval", help="held-out metrics for a checkpoint")
+    _model_flags(e, TASKS)
+    _data_flags(e)
+    e.add_argument("--checkpoint", default=None)
+    e.add_argument("--timesteps", type=int, default=100)
+    e.add_argument("--num-eval", type=int, default=16)
+    e.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("sample", help="property targets -> SMILES")
+    _model_flags(s, ("inverse_diffusion", "inverse_transformer"))
+    _data_flags(s)
+    s.add_argument("--checkpoint", default=None)
+    s.add_argument("--num", type=int, default=4,
+                   help="held-out targets to condition on when "
+                   "--properties is not given")
+    s.add_argument("--properties", nargs="*", default=None,
+                   help="explicit property rows, comma-separated physical "
+                   "units, one row per molecule")
+    s.add_argument("--cond-scale", type=float, default=2.0)
+    s.add_argument("--timesteps", type=int, default=64)
+    s.add_argument("--tokens", type=int, default=63)
+    s.set_defaults(fn=cmd_sample)
+
+    pr = sub.add_parser("predict", help="SMILES -> 12 QM9 properties")
+    _model_flags(pr, ("forward_transformer", "forward_diffusion"))
+    _data_flags(pr)
+    pr.add_argument("--checkpoint", default=None)
+    pr.add_argument("--timesteps", type=int, default=100)
+    pr.add_argument("smiles", nargs="+")
+    pr.set_defaults(fn=cmd_predict)
+
+    x = sub.add_parser("export", help="AOT StableHLO serving artifact")
+    _model_flags(x, TASKS)
+    x.add_argument("--out", required=True)
+    x.add_argument("--checkpoint", default=None)
+    x.add_argument("--vocab", type=int, default=None)
+    x.add_argument("--batch", type=int, default=512)
+    x.add_argument("--timesteps", type=int, default=64)
+    x.add_argument("--cond-scale", type=float, default=2.0)
+    x.add_argument("--tokens", type=int, default=63)
+    x.add_argument("--max-length", type=int, default=64)
+    x.add_argument("--platforms", default="tpu,cpu")
+    x.add_argument("--dtype", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    x.set_defaults(fn=cmd_export)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""CLI smoke: train -> checkpoint -> sample / predict / export through
+``python -m moleculediffusiontransformer_tpu`` (in-process), transformer
+tasks at tiny scale."""
+import json
+
+import pytest
+
+from moleculediffusiontransformer_tpu import cli
+
+
+def run(capsys, argv):
+    cli.main(argv)
+    return json.loads(capsys.readouterr().out)
+
+
+def test_info(capsys):
+    out = run(capsys, ["info"])
+    assert out["device_count"] >= 1 and "backend" in out
+
+
+def test_train_sample_predict_export(tmp_path, capsys):
+    ckpt = str(tmp_path / "it.msgpack")
+    out = run(capsys, [
+        "train", "--task", "inverse_transformer", "--preset", "tiny",
+        "--rows", "96", "--epochs", "1", "--batch-size", "32",
+        "--num-eval", "2", "--out", ckpt])
+    assert out["task"] == "inverse_transformer"
+    assert "validity_fraction" in out
+
+    out = run(capsys, [
+        "sample", "--task", "inverse_transformer", "--preset", "tiny",
+        "--rows", "96", "--checkpoint", ckpt, "--num", "2",
+        "--tokens", "8"])
+    assert len(out["smiles"]) == 2
+
+    # explicit physical-unit property rows exercise the scaler path
+    out = run(capsys, [
+        "sample", "--task", "inverse_transformer", "--preset", "tiny",
+        "--rows", "96", "--checkpoint", ckpt, "--tokens", "8",
+        "--properties", ",".join(["1.0"] * 12)])
+    assert len(out["smiles"]) == 1
+
+    out = run(capsys, [
+        "predict", "--task", "forward_transformer", "--preset", "tiny",
+        "--rows", "96", "CCO", "C1CC1"])
+    assert set(out["predictions"]) == {"CCO", "C1CC1"}
+    assert len(out["predictions"]["CCO"]) == 12
+
+    art = str(tmp_path / "enc.mdtx")
+    cli.main(["export", "--task", "forward_transformer", "--out", art,
+              "--batch", "2", "--platforms", "cpu", "--dtype", "float32"])
+    from moleculediffusiontransformer_tpu.design import export as dexport
+    exported = dexport.load_artifact(art)
+    assert exported.in_avals  # loadable artifact with input specs
+
+
+def test_eval_random_init(capsys):
+    out = run(capsys, [
+        "eval", "--task", "forward_transformer", "--preset", "tiny",
+        "--rows", "96", "--num-eval", "4"])
+    assert "r2" in out

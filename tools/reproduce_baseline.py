@@ -30,6 +30,10 @@ emitted metrics reflect the full train→generate→validate pipeline.
 TPU).  Found checkpoints always win and always use the notebook
 architectures they were trained with.
 
+All per-task build/train/eval logic lives in
+``moleculediffusiontransformer_tpu.train.recipes`` (shared with the
+package CLI); this script is the orchestration + JSON report.
+
   python tools/reproduce_baseline.py \
       --csv qm9_.csv --checkpoint-dir ckpts/ --out baseline_repro.json
 
@@ -45,11 +49,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-MODELS = ("forward_diffusion", "inverse_diffusion",
-          "inverse_transformer", "forward_transformer")
+from moleculediffusiontransformer_tpu.train import recipes
+
+MODELS = recipes.TASKS
 
 
 def find_checkpoint(directory, name):
@@ -57,115 +61,6 @@ def find_checkpoint(directory, name):
         return None
     hits = sorted(glob.glob(os.path.join(directory, f"{name}*")))
     return hits[0] if hits else None
-
-
-def load_params(path, model, init_args, init_kwargs):
-    """Checkpoint -> params; fresh init when path is None."""
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), *init_args,
-                            **init_kwargs)
-    if path is None:
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), *init_args,
-                                        **init_kwargs)
-        return variables["params"], "random-init (no checkpoint found)"
-    if path.endswith(".pt") or path.endswith(".pth"):
-        import torch
-        from moleculediffusiontransformer_tpu.nn import state_dict_to_params
-        sd = torch.load(path, map_location="cpu")
-        if hasattr(sd, "state_dict"):
-            sd = sd.state_dict()
-        return state_dict_to_params(sd, shapes["params"]), path
-    from moleculediffusiontransformer_tpu.core.checkpoint import (
-        restore_checkpoint)
-    restored = restore_checkpoint(path, {"params": shapes["params"]})
-    return restored["params"], path
-
-
-def _train_cfg(args):
-    from moleculediffusiontransformer_tpu.core.config import TrainConfig
-    # reference training hyperparameters: Adam 2e-4 + grad-clip 0.5
-    # (generative.py:1132; Inverse_Diffusion.ipynb cell 64)
-    return TrainConfig(learning_rate=2e-4, batch_size=args.train_batch,
-                       epochs=args.train_epochs, seed=args.seed)
-
-
-def _trained_label(args):
-    return (f"trained in-process ({args.train_preset} preset, "
-            f"{args.train_epochs} epochs, batch {args.train_batch})")
-
-
-def train_forward_diffusion(model, data, args):
-    """`train_loop_forward` semantics (reference generative.py:525-533):
-    conditioning = token ids, target = the zero-padded property track."""
-    from moleculediffusiontransformer_tpu.data.qm9 import batch_iterator
-    from moleculediffusiontransformer_tpu.train import train_diffusion
-    L = model.max_length
-
-    def pad_props(y):
-        track = np.zeros((y.shape[0], L, 1), np.float32)
-        track[:, :y.shape[1], 0] = y
-        return track
-
-    def make_iter():
-        for X, y in batch_iterator(data.X_train, data.y_train,
-                                   args.train_batch,
-                                   rng=np.random.RandomState(args.seed)):
-            yield X, pad_props(y)
-
-    state, _ = train_diffusion(model, make_iter, _train_cfg(args),
-                               init_conditioning=data.X_train[:2],
-                               init_target=pad_props(data.y_train[:2]),
-                               swap_xy=True)
-    return jax.device_get(state.params), _trained_label(args)
-
-
-def train_inverse_diffusion(model, data, args):
-    """Inverse direction: conditioning = properties, target = one-hot."""
-    from moleculediffusiontransformer_tpu.data.qm9 import batch_iterator
-    from moleculediffusiontransformer_tpu.train import train_diffusion
-
-    def make_iter():
-        return batch_iterator(data.X_train, data.y_train, args.train_batch,
-                              rng=np.random.RandomState(args.seed))
-
-    state, _ = train_diffusion(model, make_iter, _train_cfg(args),
-                               init_conditioning=data.y_train[:2],
-                               init_target=data.X_train[:2])
-    return jax.device_get(state.params), _trained_label(args)
-
-
-def train_transformer(model, data, args, encoder=False):
-    """AR decoder (CE over shifted ids) / property encoder (MSE) training,
-    mirroring examples/{inverse,forward}_transformer.py."""
-    from moleculediffusiontransformer_tpu.data.qm9 import batch_iterator
-    from moleculediffusiontransformer_tpu.train import (
-        TrainState, make_encoder_train_step, make_optimizer,
-        make_transformer_train_step)
-    config = _train_cfg(args)
-    key = jax.random.PRNGKey(args.seed)
-    if encoder:
-        variables = jax.jit(model.init)(
-            key, jnp.asarray(data.X_train[:2], jnp.int32))
-    else:
-        variables = model.init({"params": key},
-                               jnp.asarray(data.y_train[:2]),
-                               jnp.asarray(data.X_train[:2], jnp.int32),
-                               key=key)
-    tx = make_optimizer(config)
-    state = TrainState.create(variables["params"], tx)
-    step_fn = (make_encoder_train_step(model, tx) if encoder
-               else make_transformer_train_step(model, tx))
-    data_key = jax.random.PRNGKey(args.seed + 1)
-    for _ in range(config.epochs):
-        for X, y in batch_iterator(data.X_train, data.y_train,
-                                   config.batch_size,
-                                   rng=np.random.RandomState(args.seed)):
-            if encoder:
-                state, _loss = step_fn(state, jnp.asarray(X, jnp.int32),
-                                       jnp.asarray(y))
-            else:
-                state, _loss = step_fn(state, jnp.asarray(y),
-                                       jnp.asarray(X, jnp.int32), data_key)
-    return jax.device_get(state.params), _trained_label(args)
 
 
 def main():
@@ -193,18 +88,12 @@ def main():
     p.add_argument("--train-batch", type=int, default=128)
     args = p.parse_args()
 
-    from moleculediffusiontransformer_tpu.core import config as cfg
+    from moleculediffusiontransformer_tpu.core.config import TrainConfig
     from moleculediffusiontransformer_tpu.data.qm9 import (load_qm9,
                                                            prepare_qm9,
                                                            synthetic_qm9)
     from moleculediffusiontransformer_tpu.design.inverse_design import (
         rescore_generated)
-    from moleculediffusiontransformer_tpu.models import (
-        MoleculeTransformerSequence, MoleculeTransformerSequenceEncoder,
-        QMDiffusion, QMDiffusionForward, from_config)
-    from moleculediffusiontransformer_tpu.train.eval import (
-        eval_forward_diffusion, eval_forward_transformer,
-        eval_inverse_diffusion, eval_inverse_transformer)
 
     if args.csv:
         smiles, props = load_qm9(args.csv, max_rows=args.rows)
@@ -225,32 +114,33 @@ def main():
                                "batch": args.train_batch,
                                "optimizer": "adam 2e-4 + grad-clip 0.5 "
                                             "(reference generative.py:1132)"}
+    # reference training hyperparameters: Adam 2e-4 + grad-clip 0.5
+    # (generative.py:1132; Inverse_Diffusion.ipynb cell 64)
+    train_cfg = TrainConfig(learning_rate=2e-4, batch_size=args.train_batch,
+                            epochs=args.train_epochs, seed=args.seed)
+
+    def get_model_params(task, data):
+        """Checkpoint > in-process training > random init, per task."""
+        ckpt = find_checkpoint(args.checkpoint_dir, task)
+        train = ckpt is None and args.train_epochs > 0
+        preset = args.train_preset if train else "notebook"
+        model = recipes.build_model(task, data.vocab_size, preset)
+        if train:
+            params = recipes.train_task(task, model, data, train_cfg)
+            src = (f"trained in-process ({preset} preset, "
+                   f"{args.train_epochs} epochs, batch {args.train_batch})")
+        else:
+            params, src = recipes.load_params(ckpt, task, model)
+        results["checkpoints"][task] = src
+        return model, params
 
     # ---- 1. forward diffusion: property R² --------------------------------
     data_fd = prepare_qm9(smiles, props, mode="forward_diffusion")
-    ckpt = find_checkpoint(args.checkpoint_dir, "forward_diffusion")
-    train = ckpt is None and args.train_epochs > 0
-    if train and args.train_preset == "tiny":
-        model_fd = QMDiffusionForward(
-            max_length=64, channels=32, pred_dim=1, text_embed_dim=32,
-            embed_dim_position=16, context_embedding_max_length=64,
-            multipliers=(1, 2), factors=(4,), num_blocks=(2,),
-            attentions=(1,), attention_heads=4, attention_features=32,
-            patch_size=4)
-    else:
-        model_fd = from_config(QMDiffusionForward,
-                               cfg.forward_diffusion_qm9())
-    fa = (jnp.zeros((1, 64)), jnp.zeros((1, model_fd.max_length, 1)),
-          jax.random.PRNGKey(0))
-    if train:
-        params_fd, src = train_forward_diffusion(model_fd, data_fd, args)
-    else:
-        params_fd, src = load_params(ckpt, model_fd, fa, {})
-    results["checkpoints"]["forward_diffusion"] = src
-    m = eval_forward_diffusion(model_fd, {"params": params_fd},
-                               data_fd.X_test, data_fd.y_test, key,
-                               num_samples=args.num_rescore,
-                               timesteps=args.timesteps, cond_scale=1.0)
+    model_fd, params_fd = get_model_params("forward_diffusion", data_fd)
+    m = recipes.eval_task("forward_diffusion", model_fd,
+                          {"params": params_fd}, data_fd, key,
+                          timesteps=args.timesteps,
+                          num_rescore=args.num_rescore)
     results["metrics"]["forward_diffusion_r2"] = m["r2"]
     results["metrics"]["forward_diffusion_mae"] = m["mae"]
     print(f"forward diffusion R2 = {m['r2']:.4f}  "
@@ -258,32 +148,11 @@ def main():
 
     # ---- 2. inverse diffusion: validity + novelty -------------------------
     data_id = prepare_qm9(smiles, props, mode="inverse_diffusion")
-    ckpt = find_checkpoint(args.checkpoint_dir, "inverse_diffusion")
-    train = ckpt is None and args.train_epochs > 0
-    if train and args.train_preset == "tiny":
-        model_id = QMDiffusion(
-            max_length=32, channels=32, pred_dim=data_id.vocab_size,
-            text_embed_dim=32, embed_dim_position=16,
-            context_embedding_max_length=12, multipliers=(1, 2),
-            factors=(4,), num_blocks=(2,), attentions=(1,),
-            attention_heads=4, attention_features=32, pre_transformer=1,
-            patch_size=1)
-    else:
-        model_id = from_config(QMDiffusion,
-                               cfg.inverse_diffusion_qm9(data_id.vocab_size))
-    ia = (jnp.zeros((1, 12)),
-          jnp.zeros((1, model_id.max_length, model_id.pred_dim)),
-          jax.random.PRNGKey(0))
-    if train:
-        params_id, src = train_inverse_diffusion(model_id, data_id, args)
-    else:
-        params_id, src = load_params(ckpt, model_id, ia, {})
-    results["checkpoints"]["inverse_diffusion"] = src
-    m = eval_inverse_diffusion(model_id, {"params": params_id},
-                               data_id.y_test, data_id.tokenizer,
-                               data_id.smiles, key,
-                               num_samples=args.num_generate,
-                               timesteps=args.timesteps, cond_scale=2.0)
+    model_id, params_id = get_model_params("inverse_diffusion", data_id)
+    m = recipes.eval_task("inverse_diffusion", model_id,
+                          {"params": params_id}, data_id, key,
+                          timesteps=args.timesteps,
+                          num_generate=args.num_generate)
     results["metrics"]["inverse_diffusion_validity"] = m["validity_fraction"]
     results["metrics"]["inverse_diffusion_novelty"] = m["novelty_fraction"]
     print(f"inverse diffusion validity = {m['validity_fraction']:.4f}, "
@@ -292,26 +161,10 @@ def main():
 
     # ---- 3. inverse transformer: validity/novelty + re-scored R² ----------
     data_tr = prepare_qm9(smiles, props, mode="transformer")
-    t = cfg.inverse_transformer_qm9()
-    ckpt = find_checkpoint(args.checkpoint_dir, "inverse_transformer")
-    train = ckpt is None and args.train_epochs > 0
-    dim, depth = ((32, 2) if train and args.train_preset == "tiny"
-                  else (t.dim, t.depth))
-    model_it = MoleculeTransformerSequence(
-        dim=dim, depth=depth, logits_dim=data_tr.vocab_size,
-        dim_head=t.dim_head, heads=t.heads, text_embed_dim=t.text_embed_dim,
-        max_text_len=t.max_text_len)
-    if train:
-        params_it, src = train_transformer(model_it, data_tr, args)
-    else:
-        ta = (jnp.zeros((1, 12)), jnp.zeros((1, 4), jnp.int32))
-        params_it, src = load_params(ckpt, model_it, ta,
-                                     {"key": jax.random.PRNGKey(0)})
-    results["checkpoints"]["inverse_transformer"] = src
-    m = eval_inverse_transformer(model_it, {"params": params_it},
-                                 data_tr.y_test, data_tr.tokenizer,
-                                 data_tr.smiles, key,
-                                 num_samples=args.num_generate)
+    model_it, params_it = get_model_params("inverse_transformer", data_tr)
+    m = recipes.eval_task("inverse_transformer", model_it,
+                          {"params": params_it}, data_tr, key,
+                          num_generate=args.num_generate)
     results["metrics"]["inverse_transformer_validity"] = (
         m["validity_fraction"])
     results["metrics"]["inverse_transformer_novelty"] = m["novelty_fraction"]
@@ -335,25 +188,9 @@ def main():
               f"(BASELINE.md spread: 0.25-0.98)")
 
     # ---- 4. forward transformer: property R² ------------------------------
-    e = cfg.forward_transformer_qm9()
-    ckpt = find_checkpoint(args.checkpoint_dir, "forward_transformer")
-    train = ckpt is None and args.train_epochs > 0
-    dim, depth, heads = ((32, 2, 4) if train and args.train_preset == "tiny"
-                         else (e.dim, e.depth, e.heads))
-    model_ft = MoleculeTransformerSequenceEncoder(
-        dim=dim, depth=depth, heads=heads, ff_mult=e.ff_mult,
-        logits_dim=e.logits_dim, logits_dim_length=e.logits_dim_length,
-        max_length=e.max_length, max_tokens=data_tr.vocab_size,
-        embed_dim=e.embed_dim)
-    if train:
-        params_ft, src = train_transformer(model_ft, data_tr, args,
-                                           encoder=True)
-    else:
-        ea = (jnp.zeros((1, 64), jnp.int32),)
-        params_ft, src = load_params(ckpt, model_ft, ea, {})
-    results["checkpoints"]["forward_transformer"] = src
-    m = eval_forward_transformer(model_ft, {"params": params_ft},
-                                 data_tr.X_test, data_tr.y_test)
+    model_ft, params_ft = get_model_params("forward_transformer", data_tr)
+    m = recipes.eval_task("forward_transformer", model_ft,
+                          {"params": params_ft}, data_tr, key)
     results["metrics"]["forward_transformer_r2"] = m["r2"]
     print(f"forward transformer R2 = {m['r2']:.4f}")
 
