@@ -2,10 +2,11 @@
 
 The deployment counterpart of `tools/export_serving_artifact.py`: load a
 `.mdtx` StableHLO artifact, restore a checkpoint into the artifact's own
-parameter skeleton, and serve.  The artifact KIND is detected from its
-own input specs — the serving host needs the artifact, a checkpoint, and
-the tokenizer vocabulary; `moleculediffusiontransformer_tpu.models` is
-never imported.
+parameter skeleton, and serve.  All of that is
+``design.ArtifactServer`` — the artifact KIND is detected from its own
+input specs; the serving host needs the artifact, a checkpoint, and the
+tokenizer vocabulary; `moleculediffusiontransformer_tpu.models` is never
+imported.
 
 Supported artifacts (see `design/export.py`):
   * diffusion sampler  — call(vars, props, key) -> one-hot tracks
@@ -34,60 +35,47 @@ import numpy as np
 from common import load_dataset
 
 
-def serve_sampler(art, variables, specs, args):
+def serve_sampler(server, args):
     """Diffusion sampler: condition on held-out property vectors."""
     from moleculediffusiontransformer_tpu.design import (decode_one_hot,
                                                          evaluate_generated)
-    props_spec = specs[1]
-    batch, n_cond = props_spec.shape
+    n_cond = server.specs[0].shape[1]
     data = load_dataset(args, mode="inverse_diffusion", max_length=32)
-    props = _take_props(data, batch, n_cond)
-    out = art.call(variables, props, jax.random.PRNGKey(args.seed))
-    smiles = decode_one_hot(np.asarray(out), data.tokenizer)
+    props = np.asarray(data.y_test[:server.batch], np.float32)[:, :n_cond]
+    out = server.call_padded(props, key=jax.random.PRNGKey(args.seed))
+    smiles = decode_one_hot(out, data.tokenizer)
     _report("sampled", smiles, evaluate_generated(smiles, data.smiles))
 
 
-def serve_generator(art, variables, specs, args):
+def serve_generator(server, args):
     """AR transformer: start every row at the '@' token, decode to '$'."""
     from moleculediffusiontransformer_tpu.data.tokenizer import (
         remove_start_end_token_first)
     from moleculediffusiontransformer_tpu.design import evaluate_generated
-    props_spec, start_spec = specs[1], specs[2]
-    batch, n_cond = props_spec.shape
+    n_cond = server.specs[0].shape[1]
+    start_len = server.specs[1].shape[1]
     data = load_dataset(args, mode="transformer", max_length=64)
-    props = _take_props(data, batch, n_cond)
+    props = np.asarray(data.y_test[:server.batch], np.float32)[:, :n_cond]
     start_id = data.tokenizer.word_index.get("@", 1)
-    start = np.full(start_spec.shape, start_id, np.int32)
-    ids = art.call(variables, props, start, jax.random.PRNGKey(args.seed))
-    texts = data.tokenizer.decode(np.asarray(ids))
+    start = np.full((props.shape[0], start_len), start_id, np.int32)
+    ids = server.call_padded(props, start, key=jax.random.PRNGKey(args.seed))
+    texts = data.tokenizer.decode(ids)
     smiles = [remove_start_end_token_first(t) for t in texts]
     _report("generated", smiles, evaluate_generated(smiles, data.smiles))
 
 
-def serve_encoder(art, variables, specs, args):
+def serve_encoder(server, args):
     """Forward property prediction on held-out SMILES."""
-    ids_spec = specs[1]
-    batch, max_length = ids_spec.shape
+    max_length = server.specs[0].shape[1]
     data = load_dataset(args, mode="transformer", max_length=max_length)
-    ids = np.asarray(data.X_test[:batch], np.int32)
-    if ids.shape[0] < batch:
-        ids = np.concatenate(
-            [ids, np.repeat(ids[:1], batch - ids.shape[0], 0)], 0)
-    logits = np.asarray(art.call(variables, ids))
-    scaled = logits.reshape(batch, -1)[:, :12]
+    ids = np.asarray(data.X_test[:server.batch], np.int32)
+    logits = server.call_padded(ids)
+    scaled = logits.reshape(ids.shape[0], -1)[:, :12]
     props = data.scaler.inverse_transform(scaled)
-    print(f"served batch={batch}: predicted properties "
+    print(f"served batch={ids.shape[0]}: predicted properties "
           f"(physical units, first 3 rows x 6 cols):")
     for row in props[:3]:
         print("  " + " ".join(f"{v:9.3f}" for v in row[:6]))
-
-
-def _take_props(data, batch, n_cond):
-    props = np.asarray(data.y_test[:batch], np.float32)
-    if props.shape[0] < batch:  # pad up to the artifact's fixed batch
-        props = np.concatenate(
-            [props, np.repeat(props[:1], batch - props.shape[0], 0)], 0)
-    return props[:, :n_cond]
 
 
 def _report(verb, smiles, report):
@@ -111,40 +99,23 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
-    from moleculediffusiontransformer_tpu.design import load_artifact
-    from moleculediffusiontransformer_tpu.design.export import (
-        variables_skeleton)
+    from moleculediffusiontransformer_tpu.design import ArtifactServer
 
-    art = load_artifact(args.artifact)
-    variables = variables_skeleton(art)
-    specs, _ = jax.tree_util.tree_unflatten(art.in_tree, list(art.in_avals))
-
+    server = ArtifactServer(args.artifact, args.checkpoint, seed=args.seed)
     if args.checkpoint:
-        from moleculediffusiontransformer_tpu.core.checkpoint import (
-            restore_checkpoint)
-        variables = restore_checkpoint(args.checkpoint, variables)
         print(f"restored {args.checkpoint}")
     else:
-        leaves, treedef = jax.tree_util.tree_flatten(variables)
-        rng = np.random.RandomState(args.seed)
-        leaves = [np.asarray(rng.normal(0, 0.02, l.shape), l.dtype)
-                  for l in leaves]
-        variables = jax.tree_util.tree_unflatten(treedef, leaves)
         print("NOTE: random placeholder params (pass --checkpoint)")
 
-    # dispatch on the artifact's own calling convention (args after the
-    # variables pytree): 1 arg = encoder (ids), 2 = sampler (props, key),
-    # 3 = generator (props, start_ids, key), 4 = inpainter
-    n_call = len(specs) - 1
-    if n_call == 1:
-        serve_encoder(art, variables, specs, args)
-    elif n_call == 2:
-        serve_sampler(art, variables, specs, args)
-    elif n_call == 3:
-        serve_generator(art, variables, specs, args)
+    if server.kind == "encoder":
+        serve_encoder(server, args)
+    elif server.kind == "sampler":
+        serve_sampler(server, args)
+    elif server.kind == "generator":
+        serve_generator(server, args)
     else:
         sys.exit("inpainter artifacts need source/mask inputs — drive them "
-                 "via design.load_artifact(...).call directly")
+                 "via server.call(props, source, mask, key) directly")
 
 
 if __name__ == "__main__":

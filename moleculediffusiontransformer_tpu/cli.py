@@ -11,6 +11,7 @@ serving/export story, one subcommand each:
             (diffusion sampler or KV-cached AR transformer)
   predict   forward direction: SMILES -> 12 QM9 properties
   export    AOT StableHLO serving artifact (``design/export.py``)
+  serve     run an artifact model-code-free (``design/serve.py``)
 
 Dataset flags mirror ``examples/``: ``--csv qm9_.csv`` for the reference
 set (reference README.md:30), synthetic valence-correct stand-in
@@ -215,6 +216,53 @@ def cmd_export(args) -> None:
     # tools/export_serving_artifact.py
 
 
+def cmd_serve(args) -> None:
+    """Model-code-free serving: artifact + checkpoint + vocab -> outputs."""
+    import jax
+    import numpy as np
+
+    from .design import ArtifactServer, decode_one_hot, evaluate_generated
+    server = ArtifactServer(args.artifact, args.checkpoint, seed=args.seed)
+    if args.checkpoint is None:
+        print("NOTE: random placeholder params (pass --checkpoint)",
+              file=sys.stderr)
+    key = jax.random.PRNGKey(args.seed)
+    n = min(args.num, server.batch)
+
+    if server.kind == "encoder":
+        max_length = server.specs[0].shape[1]
+        data = _dataset(args, "transformer")
+        ids = np.asarray(data.X_test[:n], np.int32)[:, :max_length]
+        scaled = server.call_padded(ids).reshape(n, -1)[:, :12]
+        props = data.scaler.inverse_transform(scaled)
+        _emit({"kind": server.kind,
+               "predicted_properties": [[float(v) for v in r]
+                                        for r in props]})
+        return
+    n_cond = server.specs[0].shape[1]
+    if server.kind == "sampler":
+        data = _dataset(args, "inverse_diffusion")
+        props = np.asarray(data.y_test[:n], np.float32)[:, :n_cond]
+        out = server.call_padded(props, key=key)
+        smiles = decode_one_hot(out, data.tokenizer)
+    elif server.kind == "generator":
+        from .data.tokenizer import remove_start_end_token_first
+        data = _dataset(args, "transformer")
+        props = np.asarray(data.y_test[:n], np.float32)[:, :n_cond]
+        start_id = data.tokenizer.word_index.get("@", 1)
+        start = np.full((n, server.specs[1].shape[1]), start_id, np.int32)
+        ids = server.call_padded(props, start, key=key)
+        smiles = [remove_start_end_token_first(t)
+                  for t in data.tokenizer.decode(ids)]
+    else:
+        raise SystemExit("inpainter artifacts need source/mask inputs — "
+                         "drive them via design.ArtifactServer.call")
+    rep = evaluate_generated(smiles, data.smiles)
+    _emit({"kind": server.kind, "smiles": smiles,
+           "validity_fraction": rep["validity_fraction"],
+           "novelty_fraction": rep["novelty_fraction"]})
+
+
 def build_parser() -> argparse.ArgumentParser:
     from .train.recipes import TASKS
     p = argparse.ArgumentParser(
@@ -285,6 +333,14 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     x.set_defaults(fn=cmd_export)
+
+    sv = sub.add_parser("serve", help="serve an artifact (no model code)")
+    sv.add_argument("artifact")
+    sv.add_argument("--checkpoint", default=None)
+    sv.add_argument("--num", type=int, default=4,
+                    help="held-out rows to serve (<= artifact batch)")
+    _data_flags(sv)
+    sv.set_defaults(fn=cmd_serve)
     return p
 
 

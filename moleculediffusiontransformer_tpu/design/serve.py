@@ -1,0 +1,90 @@
+"""Model-code-free serving of AOT artifacts.
+
+``ArtifactServer`` is the deployment-side counterpart of
+``design/export.py``: it loads a ``.mdtx`` StableHLO artifact, rebuilds
+the parameter tree from the artifact's OWN input specs
+(``variables_skeleton``), restores a checkpoint into it, and dispatches
+on the artifact's calling convention — the serving host never imports
+``models``.  This replaces the reference's deployment story (re-running
+the notebook's model definition + ``torch.load``,
+reference `generative.py:1090-1180`) with a compile-once artifact.
+
+Artifact kinds by call arity (args after the variables pytree):
+  1  encoder    call(vars, ids)                        -> scaled logits
+  2  sampler    call(vars, props, key)                 -> one-hot tracks
+  3  generator  call(vars, props, start_ids, key)      -> token ids
+  4  inpainter  call(vars, props, source, mask, key)   -> one-hot tracks
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+KINDS = {1: "encoder", 2: "sampler", 3: "generator", 4: "inpainter"}
+
+
+class ArtifactServer:
+    """One loaded artifact + its params, ready to serve.
+
+    ``checkpoint``: msgpack path restored into the artifact's parameter
+    skeleton; omitted -> seeded random-normal placeholder params (smoke
+    mode, clearly not a trained model)."""
+
+    def __init__(self, artifact_path: str,
+                 checkpoint: Optional[str] = None, *, seed: int = 0):
+        from .export import load_artifact, variables_skeleton
+        self.artifact = load_artifact(artifact_path)
+        self.variables = variables_skeleton(self.artifact)
+        specs, _ = jax.tree_util.tree_unflatten(
+            self.artifact.in_tree, list(self.artifact.in_avals))
+        self.specs: Tuple[Any, ...] = tuple(specs[1:])  # after variables
+        self.kind = KINDS.get(len(self.specs), "unknown")
+        self.restored_from = checkpoint
+        if checkpoint:
+            from ..core.checkpoint import restore_checkpoint
+            self.variables = restore_checkpoint(checkpoint, self.variables)
+        else:
+            leaves, treedef = jax.tree_util.tree_flatten(self.variables)
+            rng = np.random.RandomState(seed)
+            leaves = [np.asarray(rng.normal(0, 0.02, l.shape), l.dtype)
+                      for l in leaves]
+            self.variables = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    @property
+    def batch(self) -> int:
+        """The artifact's fixed batch size (its first data input's dim 0)."""
+        return int(self.specs[0].shape[0])
+
+    def call(self, *args) -> Any:
+        """Raw call with exactly the artifact's fixed-shape inputs."""
+        return self.artifact.call(self.variables, *args)
+
+    def call_padded(self, *arrays, key: Optional[jax.Array] = None
+                    ) -> np.ndarray:
+        """Serve ``n <= batch`` rows: pad each array's leading dim to the
+        artifact's fixed batch (repeating row 0), append ``key`` if the
+        artifact takes one, slice the result back to ``n``.
+
+        Padding rows share the global noise draw with the live rows —
+        outputs for the live rows are exactly the full-batch program's
+        outputs for those positions."""
+        n = int(arrays[0].shape[0])
+        if n > self.batch:
+            raise ValueError(f"batch {n} exceeds the artifact's fixed "
+                             f"batch {self.batch}")
+        padded: List[Any] = []
+        for a, spec in zip(arrays, self.specs):
+            a = np.asarray(a, spec.dtype)
+            if a.shape[0] < self.batch:
+                a = np.concatenate(
+                    [a, np.repeat(a[:1], self.batch - a.shape[0], 0)], 0)
+            padded.append(a)
+        takes_key = len(self.specs) == len(arrays) + 1
+        if takes_key:
+            padded.append(jax.random.PRNGKey(0) if key is None else key)
+        elif key is not None:
+            raise ValueError(f"{self.kind} artifact takes no key")
+        out = self.call(*padded)
+        return np.asarray(out)[:n]

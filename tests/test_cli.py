@@ -53,6 +53,12 @@ def test_train_sample_predict_export(tmp_path, capsys):
     exported = dexport.load_artifact(art)
     assert exported.in_avals  # loadable artifact with input specs
 
+    capsys.readouterr()  # drop export's stderr note
+    out = run(capsys, ["serve", art, "--rows", "96", "--num", "2"])
+    assert out["kind"] == "encoder"
+    assert len(out["predicted_properties"]) == 2
+    assert len(out["predicted_properties"][0]) == 12
+
 
 def test_eval_random_init(capsys):
     out = run(capsys, [

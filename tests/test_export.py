@@ -221,3 +221,58 @@ def test_variables_skeleton_restores_checkpoint(tiny_sampler, tmp_path):
         a = art.call(restored, props, key)
         b = art.call(variables, props, key)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_artifact_server_end_to_end(tiny_sampler, tmp_path):
+    """design.ArtifactServer: kind detection from the artifact's own
+    specs, checkpoint restore into the skeleton, and padded serving — a
+    2-row request through a batch-4 artifact equals the direct
+    full-batch call's first 2 rows."""
+    from moleculediffusiontransformer_tpu.core.checkpoint import (
+        save_checkpoint)
+    from moleculediffusiontransformer_tpu.design import ArtifactServer
+    model, variables = tiny_sampler
+    with jax.default_device(CPU):
+        exported = dexport.export_sampler(
+            model, variables, batch=4, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        art_path = str(tmp_path / "s.mdtx")
+        dexport.save_artifact(exported, art_path)
+        ck_path = str(tmp_path / "ck.msgpack")
+        save_checkpoint(ck_path, jax.device_get(variables))
+
+        server = ArtifactServer(art_path, ck_path)
+        assert server.kind == "sampler" and server.batch == 4
+
+        key = jax.random.PRNGKey(5)
+        props = np.asarray(
+            jax.random.uniform(key, (2, 12), minval=-1.0, maxval=1.0))
+        served = server.call_padded(props, key=key)
+
+        full = np.concatenate([props, np.repeat(props[:1], 2, 0)], 0)
+        direct = exported.call(variables, jnp.asarray(full), key)
+    assert served.shape == (2, model.max_length, model.pred_dim)
+    np.testing.assert_array_equal(served, np.asarray(direct)[:2])
+
+    with pytest.raises(ValueError):
+        server.call_padded(np.zeros((5, 12), np.float32))  # > batch
+
+
+def test_artifact_server_placeholder_params_deterministic(tiny_sampler,
+                                                          tmp_path):
+    """No checkpoint -> seeded placeholder params (smoke mode): same seed
+    gives the same params, different seed different ones."""
+    from moleculediffusiontransformer_tpu.design import ArtifactServer
+    model, variables = tiny_sampler
+    with jax.default_device(CPU):
+        exported = dexport.export_sampler(
+            model, variables, batch=2, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        art_path = str(tmp_path / "s.mdtx")
+        dexport.save_artifact(exported, art_path)
+        a = ArtifactServer(art_path, seed=0).variables
+        b = ArtifactServer(art_path, seed=0).variables
+        c = ArtifactServer(art_path, seed=1).variables
+    la, lb, lc = (jax.tree_util.tree_leaves(t) for t in (a, b, c))
+    assert all(np.array_equal(x, y) for x, y in zip(la, lb))
+    assert not all(np.array_equal(x, y) for x, y in zip(la, lc))
