@@ -9,6 +9,8 @@ serving/export story, one subcommand each:
   eval      held-out metrics for a checkpoint (R² / validity+novelty)
   sample    inverse design: property targets -> SMILES
             (diffusion sampler or KV-cached AR transformer)
+  inpaint   constrained design: freeze draft positions, regenerate
+            the rest under property conditioning (RePaint)
   predict   forward direction: SMILES -> 12 QM9 properties
   export    AOT StableHLO serving artifact (``design/export.py``)
   serve     run an artifact model-code-free (``design/serve.py``)
@@ -154,6 +156,33 @@ def cmd_sample(args) -> None:
             tokens_to_generate=args.tokens,
             training_smiles=data.smiles)
     _emit({"task": args.task, "smiles": report["smiles"],
+           "validity_fraction": report["validity_fraction"],
+           "novelty_fraction": report["novelty_fraction"]})
+
+
+def cmd_inpaint(args) -> None:
+    """Constrained design: freeze positions of a draft molecule,
+    regenerate the rest under property conditioning (RePaint-style,
+    reference `generative.py:1574-1660`)."""
+    import jax
+    import numpy as np
+
+    from .design import inpaint_from_draft_and_conditioning
+    data = _dataset(args, "inverse_diffusion")
+    model, variables = _load(args, "inverse_diffusion", data,
+                             args.checkpoint)
+    if args.properties:
+        props = data.scaler.transform(np.asarray(
+            [[float(v) for v in args.properties.split(",")]], np.float32))
+    else:
+        props = np.asarray(data.y_test[:1])
+    report = inpaint_from_draft_and_conditioning(
+        model, variables, args.draft, props, args.fixed, data.tokenizer,
+        jax.random.PRNGKey(args.seed), num_resamples=args.resamples,
+        cond_scale=args.cond_scale, timesteps=args.timesteps,
+        num_candidates=args.num, training_smiles=data.smiles)
+    _emit({"task": "inpaint", "draft": args.draft, "fixed": args.fixed,
+           "smiles": report["smiles"],
            "validity_fraction": report["validity_fraction"],
            "novelty_fraction": report["novelty_fraction"]})
 
@@ -310,6 +339,23 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--timesteps", type=int, default=64)
     s.add_argument("--tokens", type=int, default=63)
     s.set_defaults(fn=cmd_sample)
+
+    ip = sub.add_parser("inpaint", help="constrained design: freeze draft "
+                        "positions, regenerate the rest")
+    ip.add_argument("draft", help="draft SMILES")
+    ip.add_argument("--fixed", type=int, nargs="+", required=True,
+                    help="0-based character positions to keep")
+    ip.add_argument("--preset", default="notebook",
+                    choices=("tiny", "notebook"))
+    _data_flags(ip)
+    ip.add_argument("--checkpoint", default=None)
+    ip.add_argument("--properties", default=None,
+                    help="comma-separated property targets, physical units")
+    ip.add_argument("--num", type=int, default=4, help="candidates")
+    ip.add_argument("--resamples", type=int, default=1)
+    ip.add_argument("--cond-scale", type=float, default=2.0)
+    ip.add_argument("--timesteps", type=int, default=64)
+    ip.set_defaults(fn=cmd_inpaint)
 
     pr = sub.add_parser("predict", help="SMILES -> 12 QM9 properties")
     _model_flags(pr, ("forward_transformer", "forward_diffusion"))

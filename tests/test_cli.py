@@ -60,6 +60,13 @@ def test_train_sample_predict_export(tmp_path, capsys):
     assert len(out["predicted_properties"][0]) == 12
 
 
+def test_inpaint_random_init(capsys):
+    out = run(capsys, [
+        "inpaint", "CCO", "--fixed", "0", "1", "--preset", "tiny",
+        "--rows", "96", "--timesteps", "4", "--num", "2"])
+    assert out["draft"] == "CCO" and len(out["smiles"]) == 2
+
+
 def test_eval_random_init(capsys):
     out = run(capsys, [
         "eval", "--task", "forward_transformer", "--preset", "tiny",
