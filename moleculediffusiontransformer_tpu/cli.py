@@ -13,7 +13,8 @@ serving/export story, one subcommand each:
             the rest under property conditioning (RePaint)
   predict   forward direction: SMILES -> 12 QM9 properties
   export    AOT StableHLO serving artifact (``design/export.py``)
-  serve     run an artifact model-code-free (``design/serve.py``)
+  serve     run an artifact model-code-free (``design/serve.py``);
+            ``--http PORT`` starts the JSON daemon (``design/http_serve.py``)
 
 Dataset flags mirror ``examples/``: ``--csv qm9_.csv`` for the reference
 set (reference README.md:30), synthetic valence-correct stand-in
@@ -255,6 +256,23 @@ def cmd_serve(args) -> None:
     if args.checkpoint is None:
         print("NOTE: random placeholder params (pass --checkpoint)",
               file=sys.stderr)
+    if getattr(args, "http", None) is not None:
+        from .design.http_serve import make_httpd
+        mode = {"encoder": "transformer", "generator": "transformer"}.get(
+            server.kind, "inverse_diffusion")
+        data = _dataset(args, mode)
+        httpd = make_httpd(server, data.tokenizer, data.scaler, data.smiles,
+                           host=args.host, port=args.http)
+        print(f"serving {server.kind} artifact on "
+              f"http://{httpd.server_address[0]}:{httpd.server_address[1]} "
+              "(POST /sample|/generate|/predict|/inpaint, "
+              "GET /healthz|/specs)",
+              file=sys.stderr)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            httpd.server_close()
+        return
     key = jax.random.PRNGKey(args.seed)
     n = min(args.num, server.batch)
 
@@ -285,7 +303,8 @@ def cmd_serve(args) -> None:
                   for t in data.tokenizer.decode(ids)]
     else:
         raise SystemExit("inpainter artifacts need source/mask inputs — "
-                         "drive them via design.ArtifactServer.call")
+                         "serve them with --http (POST /inpaint) or drive "
+                         "design.ArtifactServer.call directly")
     rep = evaluate_generated(smiles, data.smiles)
     _emit({"kind": server.kind, "smiles": smiles,
            "validity_fraction": rep["validity_fraction"],
@@ -385,6 +404,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--checkpoint", default=None)
     sv.add_argument("--num", type=int, default=4,
                     help="held-out rows to serve (<= artifact batch)")
+    sv.add_argument("--http", type=int, default=None, metavar="PORT",
+                    help="start a JSON HTTP daemon instead of a one-shot "
+                    "run (design/http_serve.py)")
+    sv.add_argument("--host", default="127.0.0.1")
     _data_flags(sv)
     sv.set_defaults(fn=cmd_serve)
     return p

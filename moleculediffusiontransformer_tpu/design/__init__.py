@@ -10,6 +10,7 @@ from .inverse_design import (HAS_RDKIT, canonicalize, decode_one_hot,
 from .export import (export_generator, export_inpainter, export_jit,
                      export_sampler, load_artifact, save_artifact)
 from .serve import ArtifactServer
+from .http_serve import ServingError, make_httpd
 from .plots import (draw_and_save, draw_and_save_set, joint_plot,
                     plot_loss_curve, plot_results_as_barchart,
                     view_difference)

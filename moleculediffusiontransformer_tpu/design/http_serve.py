@@ -1,0 +1,237 @@
+"""Zero-dependency HTTP front end over ``ArtifactServer``.
+
+A stdlib ``http.server`` daemon that turns one AOT artifact + checkpoint
++ tokenizer vocabulary into a JSON inference service — the deployment
+analog of the reference's notebook-resident sampling loops
+(`generative.py:1662-1738` / `:1775-1860` / `:1864-1913`), with no model
+code, no framework server dependency, and the whole device program
+compiled ahead of time.
+
+Routes (JSON in/out; property vectors in PHYSICAL units when a scaler
+is configured):
+
+  GET  /healthz    {"status": "ok", kind, batch, restored_from}
+  GET  /specs      the artifact's input shapes/dtypes
+  POST /sample     sampler artifacts:   {"properties": [[...]], "seed"}
+                   -> {"smiles", "validity_fraction", "novelty_fraction"}
+  POST /generate   generator artifacts: same request -> same response
+  POST /predict    encoder artifacts:   {"smiles": ["CCO", ...]}
+                   -> {"properties": [[...12 floats...], ...]}
+  POST /inpaint    inpainter artifacts: {"properties", "draft": "CCO",
+                   "fixed": [0, 2], "seed"} — RePaint constrained design:
+                   keep the draft's characters at the fixed positions,
+                   regenerate the rest (reference `generative.py:1574-1660`)
+
+Run it via ``python -m moleculediffusiontransformer_tpu serve art.mdtx
+--http 8000`` or programmatically:
+
+    httpd = make_httpd(server, tokenizer, scaler, smiles, port=8000)
+    httpd.serve_forever()
+"""
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from .serve import ArtifactServer
+
+
+class ServingError(ValueError):
+    """Client error -> HTTP 400/409."""
+
+    def __init__(self, message: str, status: int = 400):
+        super().__init__(message)
+        self.status = status
+
+
+class _Endpoints:
+    """Request -> array -> device -> JSON glue, one method per route."""
+
+    def __init__(self, server: ArtifactServer, tokenizer=None, scaler=None,
+                 training_smiles: Sequence[str] = ()):
+        self.server = server
+        self.tokenizer = tokenizer
+        self.scaler = scaler
+        self.training_smiles = list(training_smiles)
+
+    def healthz(self) -> dict:
+        return {"status": "ok", "kind": self.server.kind,
+                "batch": self.server.batch,
+                "restored_from": self.server.restored_from
+                or "placeholder params"}
+
+    def specs(self) -> dict:
+        return {"kind": self.server.kind,
+                "inputs": [{"shape": list(s.shape), "dtype": str(s.dtype)}
+                           for s in self.server.specs]}
+
+    def _props(self, body: dict) -> np.ndarray:
+        rows = body.get("properties")
+        if not isinstance(rows, list) or not rows:
+            raise ServingError("'properties' must be a non-empty list of "
+                               "property rows")
+        n_cond = self.server.specs[0].shape[1]
+        props = np.asarray(rows, np.float32)
+        if props.ndim != 2:
+            raise ServingError("'properties' must be 2-D (rows x features)")
+        if props.shape[0] > self.server.batch:
+            raise ServingError(f"{props.shape[0]} rows exceed the "
+                               f"artifact batch {self.server.batch}")
+        if self.scaler is not None:
+            props = np.asarray(self.scaler.transform(props), np.float32)
+        if props.shape[1] < n_cond:
+            raise ServingError(f"need {n_cond} properties per row, "
+                               f"got {props.shape[1]}")
+        return props[:, :n_cond]
+
+    def _require(self, kind: str) -> None:
+        if self.server.kind != kind:
+            raise ServingError(f"this endpoint serves {kind} artifacts; "
+                               f"loaded artifact is a {self.server.kind}",
+                               status=409)
+        if self.tokenizer is None:
+            raise ServingError("server started without a tokenizer "
+                               "vocabulary", status=500)
+
+    def sample(self, body: dict) -> dict:
+        self._require("sampler")
+        from .inverse_design import decode_one_hot, evaluate_generated
+        props = self._props(body)
+        key = jax.random.PRNGKey(int(body.get("seed", 0)))
+        out = self.server.call_padded(props, key=key)
+        smiles = decode_one_hot(out, self.tokenizer)
+        rep = evaluate_generated(smiles, self.training_smiles)
+        return {"smiles": smiles,
+                "validity_fraction": rep["validity_fraction"],
+                "novelty_fraction": rep["novelty_fraction"]}
+
+    def generate(self, body: dict) -> dict:
+        self._require("generator")
+        from ..data.tokenizer import remove_start_end_token_first
+        from .inverse_design import evaluate_generated
+        props = self._props(body)
+        key = jax.random.PRNGKey(int(body.get("seed", 0)))
+        start_id = self.tokenizer.word_index.get(
+            body.get("start_char", "@"), 1)
+        start = np.full((props.shape[0], self.server.specs[1].shape[1]),
+                        start_id, np.int32)
+        ids = self.server.call_padded(props, start, key=key)
+        smiles = [remove_start_end_token_first(t)
+                  for t in self.tokenizer.decode(ids)]
+        rep = evaluate_generated(smiles, self.training_smiles)
+        return {"smiles": smiles,
+                "validity_fraction": rep["validity_fraction"],
+                "novelty_fraction": rep["novelty_fraction"]}
+
+    def inpaint(self, body: dict) -> dict:
+        self._require("inpainter")
+        from ..data.tokenizer import one_hot_signed, pad_sequences
+        from .inverse_design import decode_one_hot, evaluate_generated
+        props = self._props(body)
+        draft = body.get("draft")
+        if not isinstance(draft, str) or not draft:
+            raise ServingError("'draft' must be a SMILES string")
+        fixed = body.get("fixed", [])
+        if (not isinstance(fixed, list)
+                or not all(isinstance(i, int) for i in fixed)):
+            raise ServingError("'fixed' must be a list of 0-based "
+                               "character positions to keep")
+        n = props.shape[0]
+        length, pred_dim = self.server.specs[1].shape[1:]
+        if fixed and not all(0 <= i < length for i in fixed):
+            raise ServingError(f"'fixed' positions must be in [0, {length})")
+        ids = pad_sequences(self.tokenizer.texts_to_sequences([draft]),
+                            length)
+        source = np.repeat(one_hot_signed(ids, pred_dim), n,
+                           axis=0).astype(np.float32)
+        mask = np.zeros((n, length, pred_dim), bool)
+        if fixed:
+            mask[:, fixed, :] = True
+        key = jax.random.PRNGKey(int(body.get("seed", 0)))
+        out = self.server.call_padded(props, source, mask, key=key)
+        smiles = decode_one_hot(out, self.tokenizer)
+        rep = evaluate_generated(smiles, self.training_smiles)
+        return {"smiles": smiles,
+                "validity_fraction": rep["validity_fraction"],
+                "novelty_fraction": rep["novelty_fraction"]}
+
+    def predict(self, body: dict) -> dict:
+        self._require("encoder")
+        from ..data.tokenizer import add_start_end_char, pad_sequences
+        smiles = body.get("smiles")
+        if not isinstance(smiles, list) or not smiles:
+            raise ServingError("'smiles' must be a non-empty list")
+        if len(smiles) > self.server.batch:
+            raise ServingError(f"{len(smiles)} molecules exceed the "
+                               f"artifact batch {self.server.batch}")
+        max_length = self.server.specs[0].shape[1]
+        texts = add_start_end_char([str(s) for s in smiles])
+        ids = pad_sequences(self.tokenizer.texts_to_sequences(texts),
+                            max_length)
+        logits = self.server.call_padded(np.asarray(ids, np.int32))
+        scaled = logits.reshape(len(smiles), -1)[:, :12]
+        props = (self.scaler.inverse_transform(scaled)
+                 if self.scaler is not None else scaled)
+        return {"properties": [[float(v) for v in row] for row in props]}
+
+
+def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
+               training_smiles: Sequence[str] = (), *,
+               host: str = "127.0.0.1", port: int = 8000,
+               quiet: bool = False) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``port=0`` auto-assigns
+    (read it back from ``httpd.server_address[1]``).
+
+    Requests are accepted concurrently but device calls serialize behind
+    one lock — a single compiled program shares one device."""
+    import threading
+    ep = _Endpoints(server, tokenizer, scaler, training_smiles)
+    device_lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, status: int, payload: dict) -> None:
+            blob = json.dumps(payload).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
+
+        def log_message(self, fmt, *fargs):  # noqa: N802
+            if not quiet:
+                BaseHTTPRequestHandler.log_message(self, fmt, *fargs)
+
+        def do_GET(self):  # noqa: N802
+            if self.path == "/healthz":
+                self._send(200, ep.healthz())
+            elif self.path == "/specs":
+                self._send(200, ep.specs())
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):  # noqa: N802
+            route = {"/sample": ep.sample, "/generate": ep.generate,
+                     "/predict": ep.predict,
+                     "/inpaint": ep.inpaint}.get(self.path)
+            if route is None:
+                self._send(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(body, dict):
+                    raise ServingError("request body must be a JSON object")
+                with device_lock:
+                    self._send(200, route(body))
+            except ServingError as e:
+                self._send(e.status, {"error": str(e)})
+            except json.JSONDecodeError as e:
+                self._send(400, {"error": f"bad JSON: {e}"})
+            except Exception as e:  # pragma: no cover - defensive 500
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

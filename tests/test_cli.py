@@ -60,6 +60,38 @@ def test_train_sample_predict_export(tmp_path, capsys):
     assert len(out["predicted_properties"][0]) == 12
 
 
+def test_serve_http_flag_wiring(tmp_path, capsys, monkeypatch):
+    """`serve --http PORT` must hand the artifact server + dataset
+    tokenizer/scaler to make_httpd and block in serve_forever (stubbed;
+    the daemon itself is covered by tests/test_http_serve.py)."""
+    from moleculediffusiontransformer_tpu.design import http_serve
+    art = str(tmp_path / "enc.mdtx")
+    cli.main(["export", "--task", "forward_transformer", "--out", art,
+              "--batch", "2", "--platforms", "cpu", "--dtype", "float32"])
+    calls = {}
+
+    class _Stub:
+        server_address = ("127.0.0.1", 8123)
+
+        def serve_forever(self):
+            calls["served"] = True
+            raise KeyboardInterrupt  # cmd_serve must close cleanly
+
+        def server_close(self):
+            calls["closed"] = True
+
+    def fake_make_httpd(server, tokenizer, scaler, smiles, *, host, port):
+        assert server.kind == "encoder"
+        assert tokenizer is not None and scaler is not None and smiles
+        calls["port"], calls["host"] = port, host
+        return _Stub()
+
+    monkeypatch.setattr(http_serve, "make_httpd", fake_make_httpd)
+    cli.main(["serve", art, "--rows", "96", "--http", "8123"])
+    assert calls == {"port": 8123, "host": "127.0.0.1",
+                     "served": True, "closed": True}
+
+
 def test_inpaint_random_init(capsys):
     out = run(capsys, [
         "inpaint", "CCO", "--fixed", "0", "1", "--preset", "tiny",

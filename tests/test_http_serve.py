@@ -1,0 +1,307 @@
+"""HTTP serving daemon (`design/http_serve.py`): JSON routes over a tiny
+exported sampler artifact — health/specs, a /sample round trip whose
+molecules equal the direct ArtifactServer call with the same seed, and
+client-error status codes (404/400/409)."""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moleculediffusiontransformer_tpu.core.checkpoint import save_checkpoint
+from moleculediffusiontransformer_tpu.data.qm9 import (prepare_qm9,
+                                                       synthetic_qm9)
+from moleculediffusiontransformer_tpu.design import (ArtifactServer,
+                                                     make_httpd)
+from moleculediffusiontransformer_tpu.design import export as dexport
+from moleculediffusiontransformer_tpu.design.inverse_design import \
+    decode_one_hot
+from moleculediffusiontransformer_tpu.models import QMDiffusion
+
+CPU = jax.devices("cpu")[0]
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("http")
+    smiles, props = synthetic_qm9(64, seed=3, chemically_valid=True)
+    data = prepare_qm9(smiles, props, mode="inverse_diffusion",
+                       max_length=16)
+    model = QMDiffusion(
+        max_length=16, channels=16, pred_dim=data.vocab_size,
+        text_embed_dim=16, embed_dim_position=8,
+        context_embedding_max_length=12, multipliers=(1, 2), factors=(2,),
+        num_blocks=(1,), attentions=(1,), attention_heads=2,
+        attention_features=8, pre_transformer=1, patch_size=1)
+    with jax.default_device(CPU):
+        key = jax.random.PRNGKey(0)
+        variables = jax.jit(model.init)(
+            key, jnp.zeros((2, 12)),
+            jnp.zeros((2, 16, data.vocab_size)), key)
+        exported = dexport.export_sampler(
+            model, variables, batch=4, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        art = str(tmp / "s.mdtx")
+        dexport.save_artifact(exported, art)
+        ck = str(tmp / "ck.msgpack")
+        save_checkpoint(ck, jax.device_get(variables))
+        server = ArtifactServer(art, ck)
+        httpd = make_httpd(server, data.tokenizer, data.scaler, data.smiles,
+                           port=0, quiet=True)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, server, data
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _post(url, payload):
+    body = (payload if isinstance(payload, bytes)
+            else json.dumps(payload).encode())
+    req = urllib.request.Request(
+        url, body, {"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz_and_specs(served):
+    base, server, _ = served
+    status, health = _get(base + "/healthz")
+    assert status == 200
+    assert health["status"] == "ok"
+    assert health["kind"] == "sampler"
+    assert health["batch"] == 4
+    assert health["restored_from"].endswith("ck.msgpack")
+
+    status, specs = _get(base + "/specs")
+    assert status == 200
+    assert specs["kind"] == "sampler"
+    assert specs["inputs"][0]["shape"] == [4, 12]
+
+
+def test_sample_matches_direct_server_call(served):
+    """Physical-unit property rows through HTTP must decode to the exact
+    molecules the ArtifactServer produces for the same scaled inputs and
+    seed (the HTTP layer adds no numerics of its own)."""
+    base, server, data = served
+    scaled = np.asarray(data.y_test[:2], np.float32)
+    physical = data.scaler.inverse_transform(scaled)
+
+    status, out = _post(base + "/sample", {
+        "properties": [[float(v) for v in row] for row in physical],
+        "seed": 7})
+    assert status == 200
+    assert len(out["smiles"]) == 2
+    assert 0.0 <= out["validity_fraction"] <= 1.0
+    assert 0.0 <= out["novelty_fraction"] <= 1.0
+
+    # Oracle: the same request path minus HTTP.
+    rescaled = np.asarray(
+        data.scaler.transform(physical.astype(np.float32)), np.float32)
+    direct = server.call_padded(rescaled[:, :12], key=jax.random.PRNGKey(7))
+    assert out["smiles"] == decode_one_hot(direct, data.tokenizer)
+
+
+def test_inpaint_route_keeps_fixed_positions(served, tmp_path):
+    """An inpainter artifact behind /inpaint: the response molecules must
+    equal the direct call built from the same draft one-hot + keep-mask,
+    and the fixed draft characters must survive in every candidate."""
+    from moleculediffusiontransformer_tpu.data.tokenizer import (
+        one_hot_signed, pad_sequences)
+    base, _, data = served
+    model = QMDiffusion(
+        max_length=16, channels=16, pred_dim=data.vocab_size,
+        text_embed_dim=16, embed_dim_position=8,
+        context_embedding_max_length=12, multipliers=(1, 2), factors=(2,),
+        num_blocks=(1,), attentions=(1,), attention_heads=2,
+        attention_features=8, pre_transformer=1, patch_size=1)
+    with jax.default_device(CPU):
+        key = jax.random.PRNGKey(0)
+        variables = jax.jit(model.init)(
+            key, jnp.zeros((2, 12)),
+            jnp.zeros((2, 16, data.vocab_size)), key)
+        exported = dexport.export_inpainter(
+            model, variables, batch=2, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        art = str(tmp_path / "ip.mdtx")
+        dexport.save_artifact(exported, art)
+        ck = str(tmp_path / "ck.msgpack")
+        save_checkpoint(ck, jax.device_get(variables))
+        server = ArtifactServer(art, ck)
+        assert server.kind == "inpainter"
+        httpd = make_httpd(server, data.tokenizer, data.scaler, data.smiles,
+                           port=0, quiet=True)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    ibase = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        draft, fixed = data.smiles[0], [0, 1]
+        scaled = np.asarray(data.y_test[:2], np.float32)
+        physical = data.scaler.inverse_transform(scaled)
+        status, out = _post(ibase + "/inpaint", {
+            "properties": [[float(v) for v in r] for r in physical],
+            "draft": draft, "fixed": fixed, "seed": 3})
+        assert status == 200 and len(out["smiles"]) == 2
+
+        rescaled = np.asarray(
+            data.scaler.transform(physical.astype(np.float32)), np.float32)
+        ids = pad_sequences(data.tokenizer.texts_to_sequences([draft]), 16)
+        source = np.repeat(one_hot_signed(ids, data.vocab_size), 2,
+                           axis=0).astype(np.float32)
+        mask = np.zeros((2, 16, data.vocab_size), bool)
+        mask[:, fixed, :] = True
+        direct = server.call_padded(rescaled[:, :12], source, mask,
+                                    key=jax.random.PRNGKey(3))
+        assert out["smiles"] == decode_one_hot(direct, data.tokenizer)
+        for s in out["smiles"]:
+            assert s[:2] == draft[:2]   # frozen positions survive
+
+        # wrong kind for this artifact -> 409
+        assert _post(ibase + "/sample",
+                     {"properties": [[0.0] * 12]})[0] == 409
+        # bad fixed positions -> 400
+        assert _post(ibase + "/inpaint", {
+            "properties": [[0.0] * 12], "draft": draft,
+            "fixed": [99]})[0] == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def _serve_httpd(server, data):
+    httpd = make_httpd(server, data.tokenizer, data.scaler, data.smiles,
+                       port=0, quiet=True)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def test_generate_route_matches_direct_call(served, tmp_path):
+    """A generator artifact behind /generate: HTTP decode must equal the
+    direct KV-cached CFG generation for the same seed/start token."""
+    from moleculediffusiontransformer_tpu.data.tokenizer import \
+        remove_start_end_token_first
+    from moleculediffusiontransformer_tpu.models import \
+        MoleculeTransformerSequence
+    base, _, data = served
+    model = MoleculeTransformerSequence(
+        dim=32, depth=2, logits_dim=data.vocab_size, dim_head=8, heads=4,
+        text_embed_dim=16, max_text_len=12)
+    with jax.default_device(CPU):
+        key = jax.random.PRNGKey(0)
+        props0 = jnp.zeros((2, 12))
+        start0 = jnp.ones((2, 1), jnp.int32)
+        variables = model.init(key, props0, start0, cond_drop_prob=0.0)
+        exported = dexport.export_generator(
+            model, variables, batch=2, start_len=1, tokens_to_generate=6,
+            cond_scale=1.5, platforms=("cpu",))
+        art = str(tmp_path / "g.mdtx")
+        dexport.save_artifact(exported, art)
+        ck = str(tmp_path / "gck.msgpack")
+        save_checkpoint(ck, jax.device_get(variables))
+        server = ArtifactServer(art, ck)
+        assert server.kind == "generator"
+        httpd, gbase = _serve_httpd(server, data)
+    try:
+        scaled = np.asarray(data.y_test[:2], np.float32)
+        physical = data.scaler.inverse_transform(scaled)
+        status, out = _post(gbase + "/generate", {
+            "properties": [[float(v) for v in r] for r in physical],
+            "seed": 11})
+        assert status == 200 and len(out["smiles"]) == 2
+
+        rescaled = np.asarray(
+            data.scaler.transform(physical.astype(np.float32)), np.float32)
+        start_id = data.tokenizer.word_index.get("@", 1)
+        start = np.full((2, 1), start_id, np.int32)
+        ids = server.call_padded(rescaled[:, :12], start,
+                                 key=jax.random.PRNGKey(11))
+        expect = [remove_start_end_token_first(t)
+                  for t in data.tokenizer.decode(ids)]
+        assert out["smiles"] == expect
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_predict_route_matches_direct_call(served, tmp_path):
+    """An encoder artifact behind /predict: SMILES in, 12 physical-unit
+    properties out, equal to the direct tokenize->pad->call->unscale."""
+    from moleculediffusiontransformer_tpu.data.tokenizer import (
+        add_start_end_char, pad_sequences)
+    from moleculediffusiontransformer_tpu.models import \
+        MoleculeTransformerSequenceEncoder
+    base, _, data = served
+    model = MoleculeTransformerSequenceEncoder(
+        dim=32, depth=2, heads=4, ff_mult=2, logits_dim=1,
+        logits_dim_length=12, max_length=16,
+        max_tokens=data.vocab_size + 2, embed_dim=8)
+    with jax.default_device(CPU):
+        key = jax.random.PRNGKey(0)
+        ids0 = jnp.zeros((3, 16), jnp.int32)
+        variables = model.init(key, ids0)
+        exported = dexport.export_encoder(model, variables, batch=3,
+                                          max_length=16, platforms=("cpu",))
+        art = str(tmp_path / "e.mdtx")
+        dexport.save_artifact(exported, art)
+        ck = str(tmp_path / "eck.msgpack")
+        save_checkpoint(ck, jax.device_get(variables))
+        server = ArtifactServer(art, ck)
+        assert server.kind == "encoder"
+        httpd, ebase = _serve_httpd(server, data)
+    try:
+        smiles = [data.smiles[0], data.smiles[1]]
+        status, out = _post(ebase + "/predict", {"smiles": smiles})
+        assert status == 200
+        got = np.asarray(out["properties"], np.float32)
+        assert got.shape == (2, 12)
+
+        ids = pad_sequences(
+            data.tokenizer.texts_to_sequences(add_start_end_char(smiles)),
+            16)
+        logits = server.call_padded(np.asarray(ids, np.int32))
+        expect = data.scaler.inverse_transform(
+            logits.reshape(2, -1)[:, :12])
+        np.testing.assert_allclose(got, np.asarray(expect, np.float32),
+                                   rtol=1e-5, atol=1e-5)
+
+        # not a list -> 400; too many molecules -> 400
+        assert _post(ebase + "/predict", {"smiles": "CCO"})[0] == 400
+        assert _post(ebase + "/predict",
+                     {"smiles": ["C"] * 4})[0] == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_error_codes(served):
+    base, _, _ = served
+    assert _get(base + "/nope")[0] == 404
+    assert _post(base + "/nope", {})[0] == 404
+    # bad JSON
+    assert _post(base + "/sample", b"{not json")[0] == 400
+    # missing / malformed properties
+    assert _post(base + "/sample", {})[0] == 400
+    assert _post(base + "/sample", {"properties": [1, 2]})[0] == 400
+    # more rows than the artifact batch
+    five = [[0.0] * 12] * 5
+    status, err = _post(base + "/sample", {"properties": five})
+    assert status == 400 and "exceed" in err["error"]
+    # wrong endpoint for the artifact kind -> 409
+    assert _post(base + "/generate",
+                 {"properties": [[0.0] * 12]})[0] == 409
+    # body must be a JSON object
+    assert _post(base + "/sample", b"[1,2,3]")[0] == 400

@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Tunnel-recovery runbook: the hardware validations that were pending when
+# the TPU tunnel died 2026-08-18 (PERF.md "Round 3: blockwise flash
+# attention", CLAUDE.md round-3 notes).  Everything is SERIALIZED (two
+# processes corrupt the tunneled chip) and subprocess-isolated with
+# timeouts so a re-wedge aborts instead of hanging.
+#
+#   bash tools/when_tpu_returns.sh [--skip-bench]
+#
+# Writes logs under /tmp/tpu_return/.
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+LOGDIR=/tmp/tpu_return
+mkdir -p "$LOGDIR"
+
+step() {  # step <name> <timeout_s> <cmd...>
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name (timeout ${tmo}s) ==="
+  timeout "$tmo" "$@" >"$LOGDIR/$name.log" 2>&1
+  local rc=$?
+  if [ $rc -eq 0 ]; then echo "    OK"; else
+    echo "    FAILED rc=$rc — tail of $LOGDIR/$name.log:"
+    tail -5 "$LOGDIR/$name.log" | sed 's/^/    /'
+    [ $rc -eq 124 ] && echo "    (timeout: tunnel likely still wedged — stop here)" && exit 124
+  fi
+  return 0
+}
+
+# 1. Is the tunnel actually back?  (dispatch probe, not just device init)
+step probe 120 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+assert float(jax.jit(jnp.sum)(jax.jit(jnp.matmul)(x, x))) == 256.0**3
+print('tunnel alive:', jax.devices())"
+
+# 2. Flash attention: compiled-Mosaic == composition on real hardware.
+step flash_parity 1800 python -m pytest \
+  tests/test_flash_attention.py::test_flash_compiled_on_tpu_matches_composition -x -q
+
+# 3. Raw kernel sweep (fills the PERF.md flash table).
+step flash_sweep 3600 python tools/bench_flash_attention.py
+
+# 4. End-to-end long-L audio train step A/B.
+step audio_long 3600 python tools/bench_audio_long.py
+
+# 5. North-star bench (has its own device/compute watchdogs).
+if [ "${1:-}" != "--skip-bench" ]; then
+  step bench 3600 python bench.py
+fi
+
+echo "=== done; logs in $LOGDIR — paste numbers into PERF.md flash section ==="
