@@ -16,8 +16,9 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "tokenizer.cpp")
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRCS = [os.path.join(_DIR, "tokenizer.cpp"),
+         os.path.join(_DIR, "csv_loader.cpp")]
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
@@ -27,17 +28,20 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _load_failed:
         return _lib
     try:
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        for src in _SRCS:
+            with open(src, "rb") as f:
+                h.update(f.read())
+        digest = h.hexdigest()[:16]
         cache_dir = os.path.join(tempfile.gettempdir(),
                                  f"mdt_native_{os.getuid()}")
         os.makedirs(cache_dir, exist_ok=True)
-        so_path = os.path.join(cache_dir, f"tokenizer_{digest}.so")
+        so_path = os.path.join(cache_dir, f"mdt_native_{digest}.so")
         if not os.path.exists(so_path):
             tmp = so_path + ".tmp"
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                 _SRC, "-o", tmp],
+                 *_SRCS, "-o", tmp],
                 check=True, capture_output=True)
             os.replace(tmp, so_path)
         lib = ctypes.CDLL(so_path)
@@ -53,6 +57,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(i64), i64,
             ctypes.POINTER(ctypes.c_uint8), i64, i64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float)]
+        lib.csv_count_rows.argtypes = [ctypes.c_char_p, i64]
+        lib.csv_count_rows.restype = i64
+        lib.csv_parse_rows.argtypes = [
+            ctypes.c_char_p, i64, i64, i64, ctypes.POINTER(i64), i64,
+            ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_float)]
+        lib.csv_parse_rows.restype = i64
         _lib = lib
     except Exception:
         _load_failed = True
@@ -98,6 +108,56 @@ def tokenize_pad(texts: Sequence[str], word_index: Dict[str, int],
         len(texts), cmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         max_length, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
+
+
+def load_csv(csv_path: str, property_names: Sequence[str],
+             smiles_column: str = "smiles",
+             max_rows: Optional[int] = None):
+    """Native plain-CSV loader (csv_loader.cpp): returns
+    ``(smiles list, (n, len(property_names)) float32)`` or None whenever
+    the Python ``csv`` path must decide instead — lib unavailable, quoted
+    CSV (DictReader quoting semantics), missing columns (user-facing
+    ValueError), or a malformed row (user-facing float() error)."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    with open(csv_path, "rb") as f:
+        data = f.read()
+    if b'"' in data:
+        return None
+    nl = data.find(b"\n")
+    if nl < 0:
+        return None
+    try:
+        header = data[:nl].decode("utf-8").rstrip("\r").split(",")
+    except UnicodeDecodeError:
+        return None
+    col_index = {name: i for i, name in enumerate(header)}
+    if any(name not in col_index for name in property_names):
+        return None
+    smi_col = None
+    for cand in (smiles_column, "smiles", "SMILES", "canonical_smiles"):
+        if cand in col_index:
+            smi_col = col_index[cand]
+            break
+    if smi_col is None:
+        return None
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = int(lib.csv_count_rows(data, len(data)))
+    if max_rows is not None:
+        n = min(n, max_rows)
+    prop_cols = np.asarray([col_index[c] for c in property_names], np.int64)
+    spans = np.empty((n, 2), np.int64)
+    props = np.empty((n, len(property_names)), np.float32)
+    rc = int(lib.csv_parse_rows(
+        data, len(data), n, smi_col, prop_cols.ctypes.data_as(i64p),
+        len(property_names), spans.ctypes.data_as(i64p),
+        props.ctypes.data_as(ctypes.POINTER(ctypes.c_float))))
+    if rc != 0:
+        return None
+    smiles = [data[b:e].decode("utf-8") for b, e in spans.tolist()]
+    return smiles, props
 
 
 def tokenize_one_hot(texts: Sequence[str], word_index: Dict[str, int],

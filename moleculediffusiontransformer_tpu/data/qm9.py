@@ -31,7 +31,17 @@ NUM_PROPERTIES = len(PROPERTY_NAMES)
 
 def load_qm9(csv_path: str, smiles_column: str = "smiles",
              max_rows: Optional[int] = None) -> Tuple[List[str], np.ndarray]:
-    """Load (smiles, properties[n, 12]) from the reference CSV."""
+    """Load (smiles, properties[n, 12]) from the reference CSV.
+
+    Plain (unquoted) CSVs ride the multithreaded native reader
+    (`native/csv_loader.cpp`); anything it can't commit to byte-exactly
+    (quoting, missing columns, malformed rows, no toolchain) falls back
+    to this Python csv path, which owns the user-facing errors."""
+    from . import native
+    loaded = native.load_csv(csv_path, PROPERTY_NAMES,
+                             smiles_column=smiles_column, max_rows=max_rows)
+    if loaded is not None:
+        return loaded
     import csv
 
     smiles: List[str] = []
