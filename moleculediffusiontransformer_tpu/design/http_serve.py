@@ -21,6 +21,10 @@ is configured):
                    "fixed": [0, 2], "seed"} — RePaint constrained design:
                    keep the draft's characters at the fixed positions,
                    regenerate the rest (reference `generative.py:1574-1660`)
+  GET  /metrics    request/error counters + per-route latency (ms)
+  POST /reload     {"checkpoint": path} — hot-swap params from a new
+                   checkpoint without recompiling (the AOT program takes
+                   the param tree as a call argument)
 
 Run it via ``python -m moleculediffusiontransformer_tpu serve art.mdtx
 --http 8000`` or programmatically:
@@ -48,6 +52,34 @@ class ServingError(ValueError):
         self.status = status
 
 
+class _Metrics:
+    """Per-route request/error counters and latency aggregates."""
+
+    def __init__(self):
+        import threading
+        self._lock = threading.Lock()
+        self._routes: dict = {}
+        self.errors = 0
+
+    def record(self, route: str, seconds: float, ok: bool) -> None:
+        with self._lock:
+            r = self._routes.setdefault(
+                route, {"count": 0, "total_ms": 0.0, "last_ms": 0.0})
+            r["count"] += 1
+            r["total_ms"] += seconds * 1e3
+            r["last_ms"] = round(seconds * 1e3, 3)
+            if not ok:
+                self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            routes = {
+                route: {"count": r["count"], "last_ms": r["last_ms"],
+                        "mean_ms": round(r["total_ms"] / r["count"], 3)}
+                for route, r in self._routes.items()}
+            return {"routes": routes, "errors": self.errors}
+
+
 class _Endpoints:
     """Request -> array -> device -> JSON glue, one method per route."""
 
@@ -57,6 +89,7 @@ class _Endpoints:
         self.tokenizer = tokenizer
         self.scaler = scaler
         self.training_smiles = list(training_smiles)
+        self.metrics = _Metrics()
 
     def healthz(self) -> dict:
         return {"status": "ok", "kind": self.server.kind,
@@ -126,6 +159,16 @@ class _Endpoints:
         return {"smiles": smiles,
                 "validity_fraction": rep["validity_fraction"],
                 "novelty_fraction": rep["novelty_fraction"]}
+
+    def reload(self, body: dict) -> dict:
+        import os
+        path = body.get("checkpoint")
+        if not isinstance(path, str) or not path:
+            raise ServingError("'checkpoint' must be a path string")
+        if not os.path.exists(path):
+            raise ServingError(f"no checkpoint at {path}")
+        self.server.reload_checkpoint(path)
+        return {"status": "reloaded", "restored_from": path}
 
     def inpaint(self, body: dict) -> dict:
         self._require("inpainter")
@@ -210,28 +253,36 @@ def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
                 self._send(200, ep.healthz())
             elif self.path == "/specs":
                 self._send(200, ep.specs())
+            elif self.path == "/metrics":
+                self._send(200, ep.metrics.snapshot())
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):  # noqa: N802
+            import time
             route = {"/sample": ep.sample, "/generate": ep.generate,
-                     "/predict": ep.predict,
-                     "/inpaint": ep.inpaint}.get(self.path)
+                     "/predict": ep.predict, "/inpaint": ep.inpaint,
+                     "/reload": ep.reload}.get(self.path)
             if route is None:
                 self._send(404, {"error": f"no route {self.path}"})
                 return
+            t0, ok = time.perf_counter(), False
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(body, dict):
                     raise ServingError("request body must be a JSON object")
                 with device_lock:
-                    self._send(200, route(body))
+                    payload = route(body)
+                ok = True
+                self._send(200, payload)
             except ServingError as e:
                 self._send(e.status, {"error": str(e)})
             except json.JSONDecodeError as e:
                 self._send(400, {"error": f"bad JSON: {e}"})
             except Exception as e:  # pragma: no cover - defensive 500
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                ep.metrics.record(self.path, time.perf_counter() - t0, ok)
 
     return ThreadingHTTPServer((host, port), Handler)

@@ -43,14 +43,26 @@ class ArtifactServer:
         self.kind = KINDS.get(len(self.specs), "unknown")
         self.restored_from = checkpoint
         if checkpoint:
-            from ..core.checkpoint import restore_checkpoint
-            self.variables = restore_checkpoint(checkpoint, self.variables)
+            self.reload_checkpoint(checkpoint)
         else:
             leaves, treedef = jax.tree_util.tree_flatten(self.variables)
             rng = np.random.RandomState(seed)
             leaves = [np.asarray(rng.normal(0, 0.02, l.shape), l.dtype)
                       for l in leaves]
             self.variables = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def reload_checkpoint(self, checkpoint: str) -> None:
+        """Hot-swap params WITHOUT recompiling: the AOT program takes the
+        param tree as a call argument (export keeps params swappable —
+        ``tests/test_export.py::test_export_params_stay_swappable``), so a
+        new checkpoint is just a new tree restored into a fresh skeleton.
+        Replaces the reference's restart-the-notebook redeploy
+        (`generative.py:1090-1180`)."""
+        from ..core.checkpoint import restore_checkpoint
+        from .export import variables_skeleton
+        self.variables = restore_checkpoint(
+            checkpoint, variables_skeleton(self.artifact))
+        self.restored_from = checkpoint
 
     @property
     def batch(self) -> int:

@@ -305,3 +305,50 @@ def test_http_error_codes(served):
                  {"properties": [[0.0] * 12]})[0] == 409
     # body must be a JSON object
     assert _post(base + "/sample", b"[1,2,3]")[0] == 400
+
+
+def test_reload_and_metrics(served, tmp_path):
+    """POST /reload hot-swaps params without recompiling (outputs change
+    and match the direct call with the new tree); GET /metrics counts
+    requests, latencies, and errors."""
+    base, server, data = served
+    orig_ck = server.restored_from
+    before = _get(base + "/metrics")[1]
+    n_sample0 = before["routes"].get("/sample", {"count": 0})["count"]
+
+    leaves, treedef = jax.tree_util.tree_flatten(server.variables)
+    halved = jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(l) * 0.5 for l in leaves])
+    ck2 = str(tmp_path / "ck2.msgpack")
+    save_checkpoint(ck2, halved)
+
+    physical = data.scaler.inverse_transform(
+        np.asarray(data.y_test[:1], np.float32))
+    body = {"properties": [[float(v) for v in physical[0]]], "seed": 2}
+    try:
+        status, rep = _post(base + "/reload", {"checkpoint": ck2})
+        assert status == 200 and rep["restored_from"] == ck2
+        assert _get(base + "/healthz")[1]["restored_from"] == ck2
+
+        status, out = _post(base + "/sample", body)
+        assert status == 200
+        rescaled = np.asarray(data.scaler.transform(physical), np.float32)
+        direct = server.call_padded(rescaled[:, :12],
+                                    key=jax.random.PRNGKey(2))
+        assert out["smiles"] == decode_one_hot(direct, data.tokenizer)
+
+        after = _get(base + "/metrics")[1]
+        assert after["routes"]["/sample"]["count"] == n_sample0 + 1
+        assert after["routes"]["/reload"]["count"] >= 1
+        assert after["routes"]["/sample"]["mean_ms"] > 0
+
+        # bad reload path -> 400 + error counter bump
+        status, err = _post(base + "/reload",
+                            {"checkpoint": str(tmp_path / "nope.msgpack")})
+        assert status == 400 and "no checkpoint" in err["error"]
+        assert _post(base + "/reload", {})[0] == 400
+        final = _get(base + "/metrics")[1]
+        assert final["errors"] >= after["errors"] + 2
+    finally:
+        if orig_ck:
+            _post(base + "/reload", {"checkpoint": orig_ck})
