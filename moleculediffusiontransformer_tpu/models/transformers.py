@@ -600,7 +600,7 @@ class MoleculeTransformerGPT(nn.Module):
                                    "cond_scale", "filter_thres",
                                    "temperature"))
 def generate_sequence(model, variables, sequences: jax.Array,
-                      start_ids: jax.Array, key: jax.Array, *,
+                      start_ids: Optional[jax.Array], key: jax.Array, *,
                       tokens_to_generate: int = 32, cond_scale: float = 3.0,
                       filter_thres: float = 0.9,
                       temperature: float = 1.0) -> jax.Array:
@@ -610,8 +610,15 @@ def generate_sequence(model, variables, sequences: jax.Array,
 
     Reference semantics (`transformer.py:786-838`): per token,
     ``null + (cond - null) * cond_scale`` on the last-position logits, then
-    top-k + gumbel sampling.
+    top-k + gumbel sampling.  ``start_ids=None`` draws one uniform-random
+    start token per row (reference `transformer.py:805-808` — the
+    GPT-class copy of this path is dead code, it dereferences ``output``
+    before its None check, `transformer.py:4675-4680`).
     """
+    if start_ids is None:
+        key, ks = jax.random.split(key)
+        start_ids = jax.random.randint(
+            ks, (sequences.shape[0], 1), 0, model.logits_dim)
     b, t0 = start_ids.shape
     total = t0 + tokens_to_generate
     method = type(model)

@@ -339,6 +339,26 @@ def test_generate_deterministic_and_shapes():
     assert np.all(np.asarray(a) >= 0) and np.all(np.asarray(a) < 24)
 
 
+def test_generate_random_start_token():
+    """start_ids=None draws one uniform start token per row (reference
+    `transformer.py:805-808`) and must equal an explicit call with the
+    same drawn tokens and the post-split key."""
+    key = jax.random.PRNGKey(4)
+    model = MoleculeTransformerSequence(**SEQ_KW)
+    seq = jnp.linspace(-1, 1, 2 * 12).reshape(2, 12)
+    ids = jnp.array([[1, 2], [2, 3]], jnp.int32)
+    variables = model.init({"params": key}, seq, ids, key=key)
+    out = generate_sequence(model, variables, seq, None, key,
+                            tokens_to_generate=5, cond_scale=2.0)
+    assert out.shape == (2, 6)
+    k2, ks = jax.random.split(key)
+    start = jax.random.randint(ks, (2, 1), 0, model.logits_dim)
+    explicit = generate_sequence(model, variables, seq, start, k2,
+                                 tokens_to_generate=5, cond_scale=2.0)
+    assert np.array_equal(out, explicit)
+    assert np.array_equal(np.asarray(out[:, :1]), np.asarray(start))
+
+
 def test_gpt_generate_shapes():
     key = jax.random.PRNGKey(0)
     model = MoleculeTransformerGPT(dim=32, depth=2, max_tokens=24,
