@@ -215,7 +215,17 @@ def cmd_export(args) -> None:
     from .design import export as dexport
     from .train import recipes
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = recipes.build_model(args.task, args.vocab, "notebook",
+    bundle = {}
+    vocab = args.vocab
+    if args.embed_vocab:
+        # self-contained serving bundle: tokenizer/scaler/novelty corpus
+        # ride with the program (design/export.py header)
+        data = _dataset(args, recipes.data_mode(args.task))
+        bundle = dict(tokenizer=data.tokenizer, scaler=data.scaler,
+                      training_smiles=data.smiles)
+        if vocab is None:
+            vocab = data.vocab_size
+    model = recipes.build_model(args.task, vocab, "notebook",
                                 dtype=dtype)
     ia, kw = recipes.init_example(args.task, model,
                                   max_length=args.max_length)
@@ -239,8 +249,10 @@ def cmd_export(args) -> None:
         exported = dexport.export_encoder(
             model, variables, batch=args.batch, max_length=args.max_length,
             platforms=platforms)
-    dexport.save_artifact(exported, args.out)
-    print(f"wrote {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB)",
+    dexport.save_artifact(exported, args.out, extra={"task": args.task},
+                          **bundle)
+    print(f"wrote {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB"
+          f"{', vocab+scaler embedded' if bundle else ''})",
           file=sys.stderr)
     # full knob surface (--fused, --mesh-devices, tree validation):
     # tools/export_serving_artifact.py
@@ -258,11 +270,15 @@ def cmd_serve(args) -> None:
               file=sys.stderr)
     if getattr(args, "http", None) is not None:
         from .design.http_serve import make_httpd
-        mode = {"encoder": "transformer", "generator": "transformer"}.get(
-            server.kind, "inverse_diffusion")
-        data = _dataset(args, mode)
-        httpd = make_httpd(server, data.tokenizer, data.scaler, data.smiles,
-                           host=args.host, port=args.http)
+        if server.tokenizer is not None:     # bundled artifact: no dataset
+            httpd = make_httpd(server, host=args.host, port=args.http)
+        else:
+            mode = {"encoder": "transformer",
+                    "generator": "transformer"}.get(server.kind,
+                                                    "inverse_diffusion")
+            data = _dataset(args, mode)
+            httpd = make_httpd(server, data.tokenizer, data.scaler,
+                               data.smiles, host=args.host, port=args.http)
         print(f"serving {server.kind} artifact on "
               f"http://{httpd.server_address[0]}:{httpd.server_address[1]} "
               "(POST /sample|/generate|/predict|/inpaint, "
@@ -386,6 +402,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     x = sub.add_parser("export", help="AOT StableHLO serving artifact")
     _model_flags(x, TASKS)
+    _data_flags(x)
+    x.add_argument("--embed-vocab", action="store_true",
+                   help="embed the dataset's tokenizer/scaler/novelty "
+                   "corpus in the artifact (self-contained serving)")
     x.add_argument("--out", required=True)
     x.add_argument("--checkpoint", default=None)
     x.add_argument("--vocab", type=int, default=None)

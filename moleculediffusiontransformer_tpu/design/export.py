@@ -39,7 +39,8 @@ from jax import export as jexport
 __all__ = [
     "export_jit", "export_sampler", "export_inpainter", "export_generator",
     "export_encoder", "variables_skeleton",
-    "save_artifact", "load_artifact", "serialize", "deserialize",
+    "save_artifact", "load_artifact", "load_bundle",
+    "serialize", "deserialize",
 ]
 
 
@@ -249,12 +250,54 @@ def deserialize(blob: bytes) -> jexport.Exported:
     return jexport.deserialize(bytearray(blob))
 
 
-def save_artifact(exported: jexport.Exported, path: str) -> None:
+# .mdtx bundle envelope: MAGIC + 8-byte big-endian JSON-header length +
+# JSON header + raw jax.export bytes.  The header makes serving
+# self-contained: tokenizer vocabulary, property scaler, and (optionally)
+# the novelty-reference corpus ride WITH the program, so a serving host
+# needs only the .mdtx + a checkpoint — no training CSV, no model code
+# (the reference's serving story needs the notebook, the CSV, and the
+# .pt, `README.md:30-60`).  Headerless files (raw jax.export bytes, the
+# pre-bundle format) still load.
+_MAGIC = b"MDTX1\0"
+
+
+def save_artifact(exported: jexport.Exported, path: str, *,
+                  tokenizer=None, scaler=None,
+                  training_smiles: Optional[Sequence[str]] = None,
+                  extra: Optional[dict] = None) -> None:
+    """Write a serving bundle.  ``tokenizer`` (``CharTokenizer``) and
+    ``scaler`` (``MinMaxScaler``) are embedded via their ``state_dict``;
+    ``training_smiles`` (novelty reference set) and ``extra`` (free-form
+    JSON metadata) are optional."""
+    import json
+    header = dict(extra or {})
+    if tokenizer is not None:
+        header["tokenizer"] = tokenizer.state_dict()
+    if scaler is not None:
+        header["scaler"] = scaler.state_dict()
+    if training_smiles is not None:
+        header["training_smiles"] = list(training_smiles)
     with open(path, "wb") as f:
+        if header:
+            blob = json.dumps(header).encode()
+            f.write(_MAGIC + len(blob).to_bytes(8, "big") + blob)
         f.write(serialize(exported))
+
+
+def load_bundle(path: str) -> Tuple[jexport.Exported, dict]:
+    """Load a serving artifact plus its (possibly empty) bundle header."""
+    import json
+    with open(path, "rb") as f:
+        data = f.read()
+    header: dict = {}
+    if data.startswith(_MAGIC):
+        n = int.from_bytes(data[len(_MAGIC):len(_MAGIC) + 8], "big")
+        body_at = len(_MAGIC) + 8 + n
+        header = json.loads(data[len(_MAGIC) + 8:body_at])
+        data = data[body_at:]
+    return deserialize(data), header
 
 
 def load_artifact(path: str) -> jexport.Exported:
     """Load a serving artifact; invoke it with ``.call(*args)``."""
-    with open(path, "rb") as f:
-        return deserialize(f.read())
+    return load_bundle(path)[0]

@@ -230,8 +230,18 @@ def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
     (read it back from ``httpd.server_address[1]``).
 
     Requests are accepted concurrently but device calls serialize behind
-    one lock — a single compiled program shares one device."""
+    one lock — a single compiled program shares one device.
+
+    ``tokenizer``/``scaler``/``training_smiles`` default to whatever the
+    artifact bundle embeds (``export.save_artifact``), so a bundled
+    artifact serves with ``make_httpd(server)`` alone."""
     import threading
+    if tokenizer is None:
+        tokenizer = getattr(server, "tokenizer", None)
+    if scaler is None:
+        scaler = getattr(server, "scaler", None)
+    if not training_smiles:
+        training_smiles = getattr(server, "training_smiles", ()) or ()
     ep = _Endpoints(server, tokenizer, scaler, training_smiles)
     device_lock = threading.Lock()
 

@@ -34,8 +34,21 @@ class ArtifactServer:
 
     def __init__(self, artifact_path: str,
                  checkpoint: Optional[str] = None, *, seed: int = 0):
-        from .export import load_artifact, variables_skeleton
-        self.artifact = load_artifact(artifact_path)
+        from .export import load_bundle, variables_skeleton
+        self.artifact, header = load_bundle(artifact_path)
+        # bundle header (export.save_artifact): tokenizer vocabulary /
+        # property scaler / novelty corpus ride with the program, making
+        # the serving host dataset-free
+        self.tokenizer = self.scaler = None
+        self.training_smiles = header.pop("training_smiles", [])
+        if "tokenizer" in header:
+            from ..data.tokenizer import CharTokenizer
+            self.tokenizer = CharTokenizer.from_state_dict(
+                header.pop("tokenizer"))
+        if "scaler" in header:
+            from ..data.preprocess import MinMaxScaler
+            self.scaler = MinMaxScaler.from_state_dict(header.pop("scaler"))
+        self.meta = header
         self.variables = variables_skeleton(self.artifact)
         specs, _ = jax.tree_util.tree_unflatten(
             self.artifact.in_tree, list(self.artifact.in_avals))

@@ -276,3 +276,52 @@ def test_artifact_server_placeholder_params_deterministic(tiny_sampler,
     la, lb, lc = (jax.tree_util.tree_leaves(t) for t in (a, b, c))
     assert all(np.array_equal(x, y) for x, y in zip(la, lb))
     assert not all(np.array_equal(x, y) for x, y in zip(la, lc))
+
+
+def test_artifact_bundle_roundtrip_and_backcompat(tiny_sampler, tmp_path):
+    """save_artifact with tokenizer/scaler/novelty corpus writes a
+    self-contained bundle: load_bundle returns the header, load_artifact
+    still returns a working program, ArtifactServer exposes the embedded
+    objects, and headerless (raw jax.export) files still load."""
+    from moleculediffusiontransformer_tpu.data.preprocess import MinMaxScaler
+    from moleculediffusiontransformer_tpu.data.tokenizer import CharTokenizer
+    from moleculediffusiontransformer_tpu.design import ArtifactServer
+    model, variables = tiny_sampler
+    tok = CharTokenizer().fit_on_texts(["CCO", "CCN", "C1CC1"])
+    scaler = MinMaxScaler().fit(np.linspace(0, 1, 24).reshape(2, 12))
+    with jax.default_device(CPU):
+        exported = dexport.export_sampler(
+            model, variables, batch=2, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        path = str(tmp_path / "bundle.mdtx")
+        dexport.save_artifact(exported, path, tokenizer=tok, scaler=scaler,
+                              training_smiles=["CCO", "CCN"],
+                              extra={"task": "inverse_diffusion"})
+
+        art, header = dexport.load_bundle(path)
+        assert header["training_smiles"] == ["CCO", "CCN"]
+        assert header["task"] == "inverse_diffusion"
+        assert header["tokenizer"]["word_index"] == tok.word_index
+
+        key = jax.random.PRNGKey(1)
+        props = jnp.zeros((2, 12), jnp.float32)
+        a = art.call(variables, props, key)
+        b = dexport.load_artifact(path).call(variables, props, key)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        server = ArtifactServer(path)
+        assert server.tokenizer.word_index == tok.word_index
+        assert np.allclose(server.scaler.data_min_, scaler.data_min_)
+        assert server.training_smiles == ["CCO", "CCN"]
+        assert server.meta == {"task": "inverse_diffusion"}
+
+        # headerless back-compat: raw jax.export bytes
+        raw = str(tmp_path / "raw.mdtx")
+        with open(raw, "wb") as f:
+            f.write(dexport.serialize(exported))
+        art2, header2 = dexport.load_bundle(raw)
+        assert header2 == {}
+        c = art2.call(variables, props, key)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
+        s2 = ArtifactServer(raw)
+        assert s2.tokenizer is None and s2.scaler is None

@@ -352,3 +352,54 @@ def test_reload_and_metrics(served, tmp_path):
     finally:
         if orig_ck:
             _post(base + "/reload", {"checkpoint": orig_ck})
+
+
+def test_bundled_artifact_serves_without_dataset(served, tmp_path):
+    """An artifact exported with --embed-vocab semantics (tokenizer +
+    scaler + novelty corpus in the bundle header) must serve through
+    make_httpd(server) ALONE — no dataset objects passed — and produce
+    exactly what the fixture daemon (explicit tokenizer/scaler) produces
+    for the same request."""
+    base, fixture_server, data = served
+    model = QMDiffusion(
+        max_length=16, channels=16, pred_dim=data.vocab_size,
+        text_embed_dim=16, embed_dim_position=8,
+        context_embedding_max_length=12, multipliers=(1, 2), factors=(2,),
+        num_blocks=(1,), attentions=(1,), attention_heads=2,
+        attention_features=8, pre_transformer=1, patch_size=1)
+    with jax.default_device(CPU):
+        key = jax.random.PRNGKey(0)
+        variables = jax.jit(model.init)(
+            key, jnp.zeros((2, 12)),
+            jnp.zeros((2, 16, data.vocab_size)), key)
+        exported = dexport.export_sampler(
+            model, variables, batch=4, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",))
+        art = str(tmp_path / "bundled.mdtx")
+        dexport.save_artifact(exported, art, tokenizer=data.tokenizer,
+                              scaler=data.scaler,
+                              training_smiles=data.smiles)
+        ck = str(tmp_path / "ck.msgpack")
+        save_checkpoint(ck, jax.device_get(variables))
+        server = ArtifactServer(art, ck)
+        httpd = make_httpd(server, port=0, quiet=True)   # nothing else
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    bbase = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        physical = data.scaler.inverse_transform(
+            np.asarray(data.y_test[:2], np.float32))
+        body = {"properties": [[float(v) for v in r] for r in physical],
+                "seed": 9}
+        status, out = _post(bbase + "/sample", body)
+        assert status == 200 and len(out["smiles"]) == 2
+
+        rescaled = np.asarray(
+            data.scaler.transform(physical.astype(np.float32)), np.float32)
+        direct = server.call_padded(rescaled[:, :12],
+                                    key=jax.random.PRNGKey(9))
+        assert out["smiles"] == decode_one_hot(direct, data.tokenizer)
+        # novelty corpus came from the bundle, so fractions are real
+        assert 0.0 <= out["novelty_fraction"] <= 1.0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
