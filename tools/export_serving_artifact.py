@@ -83,6 +83,13 @@ def main():
                    choices=["bfloat16", "float32"])
     p.add_argument("--fused", action="store_true",
                    help="export the Pallas megakernel path (TPU-only)")
+    p.add_argument("--embed-vocab", action="store_true",
+                   help="embed the dataset's tokenizer/scaler/novelty "
+                   "corpus (self-contained serving bundle)")
+    p.add_argument("--csv", default=None,
+                   help="qm9_.csv for --embed-vocab (synthetic stand-in "
+                   "when omitted)")
+    p.add_argument("--rows", type=int, default=None)
     p.add_argument("--mesh-devices", type=int, default=0,
                    help="export the batch-parallel serving program over an "
                    "N-device mesh (params replicated, batch sharded over "
@@ -99,8 +106,28 @@ def main():
 
     from moleculediffusiontransformer_tpu.design import export as dexport
 
+    bundle: dict = {}
+    vocab = args.vocab
+    if args.embed_vocab:
+        from moleculediffusiontransformer_tpu.data.qm9 import (
+            load_qm9, prepare_qm9, synthetic_qm9)
+        from moleculediffusiontransformer_tpu.train.recipes import data_mode
+        mode = data_mode(args.model)
+        if args.csv:
+            smiles, props = load_qm9(args.csv, max_rows=args.rows)
+        else:
+            smiles, props = synthetic_qm9(n=args.rows or 2048,
+                                          chemically_valid=True)
+            print("NOTE: synthetic stand-in vocabulary "
+                  "(pass --csv qm9_.csv for the real set)", file=sys.stderr)
+        data = prepare_qm9(smiles, props, mode=mode)
+        bundle = dict(tokenizer=data.tokenizer, scaler=data.scaler,
+                      training_smiles=data.smiles)
+        if vocab is None:
+            vocab = data.vocab_size
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = build_model(args.model, args.vocab, dtype)
+    model = build_model(args.model, vocab, dtype)
     key = jax.random.PRNGKey(0)
     if args.model in ("inverse_diffusion", "forward_diffusion"):
         cond_len = (12 if args.model == "inverse_diffusion"
@@ -154,11 +181,13 @@ def main():
             model, variables, batch=args.batch, max_length=args.max_length,
             platforms=platforms)
         detail = f"max_length={args.max_length}"
-    dexport.save_artifact(exported, args.output)
+    dexport.save_artifact(exported, args.output,
+                          extra={"task": args.model}, **bundle)
     size = os.path.getsize(args.output)
     print(f"wrote {args.output} ({size/1e6:.2f} MB): "
           f"{args.model} batch={args.batch} {detail} "
-          f"platforms={exported.platforms}")
+          f"platforms={exported.platforms}"
+          f"{' vocab+scaler embedded' if bundle else ''}")
 
 
 if __name__ == "__main__":
