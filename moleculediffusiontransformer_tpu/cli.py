@@ -236,7 +236,14 @@ def cmd_export(args) -> None:
             args.checkpoint, jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), variables))["params"]}
     platforms = tuple(args.platforms.split(","))
-    if args.task in ("inverse_diffusion", "forward_diffusion"):
+    if args.inpaint and args.task not in ("inverse_diffusion",
+                                          "forward_diffusion"):
+        raise SystemExit("--inpaint applies to the diffusion tasks only")
+    if args.inpaint:
+        exported = dexport.export_inpainter(
+            model, variables, batch=args.batch, num_steps=args.timesteps,
+            cond_scale=args.cond_scale, platforms=platforms)
+    elif args.task in ("inverse_diffusion", "forward_diffusion"):
         exported = dexport.export_sampler(
             model, variables, batch=args.batch, num_steps=args.timesteps,
             cond_scale=args.cond_scale, platforms=platforms)
@@ -406,6 +413,10 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--embed-vocab", action="store_true",
                    help="embed the dataset's tokenizer/scaler/novelty "
                    "corpus in the artifact (self-contained serving)")
+    x.add_argument("--inpaint", action="store_true",
+                   help="export the RePaint inpainting program instead of "
+                   "the sampler (diffusion tasks; serve via --http "
+                   "POST /inpaint)")
     x.add_argument("--out", required=True)
     x.add_argument("--checkpoint", default=None)
     x.add_argument("--vocab", type=int, default=None)

@@ -92,6 +92,22 @@ def test_serve_http_flag_wiring(tmp_path, capsys, monkeypatch):
                      "served": True, "closed": True}
 
 
+def test_export_inpaint_artifact(tmp_path):
+    """export --inpaint emits the RePaint program: 4-input inpainter kind
+    detected by the server; rejected for non-diffusion tasks."""
+    from moleculediffusiontransformer_tpu.design import ArtifactServer
+    art = str(tmp_path / "ip.mdtx")
+    cli.main(["export", "--task", "inverse_diffusion", "--inpaint",
+              "--out", art, "--vocab", "8", "--batch", "2",
+              "--timesteps", "4", "--platforms", "cpu",
+              "--dtype", "float32"])
+    server = ArtifactServer(art)
+    assert server.kind == "inpainter"
+    with pytest.raises(SystemExit):
+        cli.main(["export", "--task", "forward_transformer", "--inpaint",
+                  "--out", art, "--batch", "2", "--platforms", "cpu"])
+
+
 def test_inpaint_random_init(capsys):
     out = run(capsys, [
         "inpaint", "CCO", "--fixed", "0", "1", "--preset", "tiny",
