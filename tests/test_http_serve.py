@@ -403,3 +403,40 @@ def test_bundled_artifact_serves_without_dataset(served, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_fuzz_never_crashes(served):
+    """Property fuzz: arbitrary JSON bodies against every POST route must
+    yield a JSON response with a sane status (200/400/404/409/500 never
+    kills the daemon), and the daemon must still serve afterwards."""
+    base, _, _ = served
+    pytest.importorskip("hypothesis")
+    from hypothesis import given, settings, strategies as st
+
+    json_scalars = (st.none() | st.booleans() | st.integers(-9, 9)
+                    | st.floats(allow_nan=False, allow_infinity=False,
+                                width=32)
+                    | st.text(max_size=8))
+    bodies = st.recursive(
+        json_scalars,
+        lambda children: (st.lists(children, max_size=4)
+                          | st.dictionaries(
+                              st.sampled_from(["properties", "seed",
+                                               "draft", "fixed", "smiles",
+                                               "checkpoint", "junk"]),
+                              children, max_size=4)),
+        max_leaves=10)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.sampled_from(["/sample", "/generate", "/predict", "/inpaint",
+                            "/reload"]),
+           bodies)
+    def check(route, body):
+        status, payload = _post(base + route, body)
+        assert status in (200, 400, 404, 409, 500), (route, body, status)
+        assert isinstance(payload, dict)
+        if status != 200:
+            assert "error" in payload
+
+    check()
+    assert _get(base + "/healthz")[0] == 200   # daemon survived
