@@ -115,6 +115,10 @@ class _Endpoints:
             raise ServingError(f"{props.shape[0]} rows exceed the "
                                f"artifact batch {self.server.batch}")
         if self.scaler is not None:
+            want = len(self.scaler.data_min_)
+            if props.shape[1] != want:
+                raise ServingError(f"need {want} properties per row "
+                                   f"(physical units), got {props.shape[1]}")
             props = np.asarray(self.scaler.transform(props), np.float32)
         if props.shape[1] < n_cond:
             raise ServingError(f"need {n_cond} properties per row, "

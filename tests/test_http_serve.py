@@ -300,6 +300,9 @@ def test_http_error_codes(served):
     five = [[0.0] * 12] * 5
     status, err = _post(base + "/sample", {"properties": five})
     assert status == 400 and "exceed" in err["error"]
+    # wrong property-row width under a scaler -> clean 400, not a 500
+    status, err = _post(base + "/sample", {"properties": [[0.0] * 3]})
+    assert status == 400 and "12 properties" in err["error"]
     # wrong endpoint for the artifact kind -> 409
     assert _post(base + "/generate",
                  {"properties": [[0.0] * 12]})[0] == 409
