@@ -494,3 +494,46 @@ def test_packed_shared_kv_sdpa_equals_plain():
                           precision=jax.lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_gpt_random_config_golden_vs_torch(reference_transformer):
+    """Config-fuzz GOLDEN parity for the GPT zoo: random combinations of
+    the constructor knobs (one_kv_head, null-KV, FF-CNN kernels, GLU,
+    concat positions, ff_mult) vs torch oracles built with the same
+    config — catches knob-wiring bugs the fixed-variant goldens cannot.
+    Deterministic sweep (seeded RNG) rather than hypothesis: each example
+    builds a torch module, so examples are expensive."""
+    import random
+    import torch
+    rng = random.Random(7)
+    base = dict(dim=32, depth=2, max_tokens=24, logits_dim=24, dim_head=8,
+                heads=4, embed_dim=16)
+    for case in range(8):
+        concat = rng.random() < 0.3
+        knobs = dict(
+            one_kv_head=rng.random() < 0.5,
+            use_null_kv=rng.random() < 0.5,
+            ff_mult=rng.choice([2, 4]),
+            ff_conv_kernel=rng.choice([0, 3]),
+            ff_inner_conv_kernel=rng.choice([0, 3]),
+            ff_glu=rng.random() < 0.5,
+            concat_pos_encoding=concat,
+            pos_fourier_graph_dim=8 if concat else None,
+        )
+        ref_knobs = {{"ff_conv_kernel": "FF_conv_kernel",
+                      "ff_inner_conv_kernel": "FF_inner_conv_kernel",
+                      "ff_glu": "FF_glu"}.get(k, k): v
+                     for k, v in knobs.items()}
+        torch.manual_seed(case)
+        ref = reference_transformer.MoleculeTransformerGPT(
+            **ref_knobs, **base)
+        ref.eval()
+        ids = torch.randint(1, 24, (2, 7))
+        with torch.no_grad():
+            r = ref(output=ids).numpy()
+        ours = MoleculeTransformerGPT(**knobs, **base)
+        ij = to_jax(ids).astype(jnp.int32)
+        variables = import_params(ours, ref, ij)
+        o = ours.apply(variables, ij)
+        assert np.allclose(o, r, atol=1e-4), (
+            case, knobs, float(np.abs(np.asarray(o) - r).max()))
