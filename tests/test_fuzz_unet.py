@@ -120,3 +120,51 @@ def test_unet_random_geometry_golden_vs_torch(reference, cfg, seed):
     got = np.transpose(np.asarray(out), (0, 2, 1))
     assert np.allclose(got, ref, atol=1e-4), (
         cfg, seed, float(np.abs(got - ref).max()))
+
+
+@settings(max_examples=4, deadline=None)
+@given(golden_configs(),
+       st.integers(min_value=0, max_value=2 ** 31 - 1),
+       st.sampled_from([1.0, 3.0]),
+       st.sampled_from([(8, 16), (12, 24)]))
+def test_unet_cfg_random_geometry_golden_vs_torch(reference, cfg, seed,
+                                                  scale, ctx):
+    """Config-fuzz GOLDEN parity for the CFG UNet: random geometry +
+    context dims + embedding scale vs a same-config torch oracle — the
+    batched-CFG restructuring (one doubled pass vs the reference's two
+    sequential passes, `modules.py:1248-1253`) must hold everywhere in
+    the envelope, not just at the notebook config."""
+    import torch
+    from moleculediffusiontransformer_tpu.nn.torch_import import (
+        state_dict_to_params)
+    from moleculediffusiontransformer_tpu.nn.unet import UNetCFG1d
+    ctx_len, ctx_feat = ctx
+    torch.manual_seed(seed)
+    ref_kw = {k: (list(v) if isinstance(v, tuple) else v)
+              for k, v in cfg.items()}
+    ref_kw["attention_use_rel_pos"] = False
+    ref_mod = reference.modules.UNetCFG1d(
+        context_embedding_max_length=ctx_len,
+        context_embedding_features=ctx_feat, **ref_kw)
+    ref_mod.eval()
+    x = torch.randn(2, cfg["in_channels"], 64)
+    t = torch.rand(2)
+    emb = torch.randn(2, ctx_len, ctx_feat)
+    with torch.no_grad():
+        ref = ref_mod(x, t, embedding=emb,
+                      embedding_scale=scale).numpy()
+
+    ours = UNetCFG1d(context_embedding_max_length=ctx_len,
+                     context_embedding_features=ctx_feat, **cfg)
+    xl = jnp.asarray(x.numpy()).transpose(0, 2, 1)
+    tj = jnp.asarray(t.numpy())
+    ej = jnp.asarray(emb.numpy())
+    with jax.disable_jit():
+        params = ours.init(jax.random.PRNGKey(0), xl, tj, embedding=ej)
+        variables = {"params": state_dict_to_params(
+            ref_mod.state_dict(), params["params"])}
+        out = ours.apply(variables, xl, tj, embedding=ej,
+                         embedding_scale=scale)
+    got = np.transpose(np.asarray(out), (0, 2, 1))
+    assert np.allclose(got, ref, atol=1e-4), (
+        cfg, seed, scale, ctx, float(np.abs(got - ref).max()))
