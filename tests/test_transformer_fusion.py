@@ -594,3 +594,63 @@ def test_fused_compiled_on_tpu_c512_raised_vmem():
                               - ref.astype(jnp.float32))))
     scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32)))) + 1e-6
     assert d / scale < 0.05, (d, scale)
+
+
+def test_fused_random_config_sweep_matches_module():
+    """Config-fuzz the megakernel: random (layers, channels, heads,
+    head_dim, multiplier, cross) combinations in the fusable envelope —
+    forward parity everywhere, gradients on a subset (interpret-mode
+    grads are expensive).  The fixed-config tests above pin the flagship
+    geometry; this pins the knob wiring."""
+    import random
+    rng = random.Random(3)
+    with jax.default_device(CPU):
+        for case in range(6):
+            cross = rng.random() < 0.5
+            nl = rng.choice([1, 2, 3])
+            C = rng.choice([32, 64])
+            heads = rng.choice([2, 4])
+            d = rng.choice([8, 16])
+            mult = rng.choice([1, 2])
+            B, L, M = rng.choice([2, 4]), rng.choice([4, 16]), rng.choice(
+                [5, 12])
+            mod = _make(cross, num_layers=nl, C=C, heads=heads, d=d,
+                        mult=mult)
+            key = jax.random.PRNGKey(case)
+            x = jax.random.normal(key, (B, L, C))
+            ctx = (jax.random.normal(jax.random.PRNGKey(case + 100),
+                                     (B, M, C)) if cross else None)
+            args = (x, ctx) if cross else (x,)
+            v = mod.init(jax.random.PRNGKey(0), *args)
+            assert tf.fusable(x, ctx, False, C if cross else None,
+                              num_layers=nl, heads=heads, head_dim=d,
+                              multiplier=mult), (case, nl, C, heads, d)
+            ref = mod.apply(v, *args)
+            out = tf.transformer1d_fused(
+                v["params"], x, ctx, num_layers=nl, heads=heads,
+                head_dim=d, multiplier=mult,
+                context_features=C if cross else None, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5,
+                err_msg=f"case {case}: nl={nl} C={C} h={heads} d={d} "
+                        f"mult={mult} cross={cross}")
+            if case < 2:   # grads on the first two configs
+                def loss_fused(params):
+                    o = tf.transformer1d_fused(
+                        params, x, ctx, num_layers=nl, heads=heads,
+                        head_dim=d, multiplier=mult,
+                        context_features=C if cross else None,
+                        interpret=True)
+                    return jnp.sum(o ** 2)
+
+                def loss_slow(params):
+                    return jnp.sum(mod.apply({"params": params},
+                                             *args) ** 2)
+
+                gf = jax.grad(loss_fused)(v["params"])
+                gs = jax.grad(loss_slow)(v["params"])
+                for a, b in zip(jax.tree_util.tree_leaves(gf),
+                                jax.tree_util.tree_leaves(gs)):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), rtol=1e-4,
+                        atol=1e-5)
