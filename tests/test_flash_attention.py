@@ -200,3 +200,43 @@ def test_flash_compiled_on_tpu_matches_composition():
                                    - a.astype(jnp.float32))))
         sa = float(jnp.max(jnp.abs(a.astype(jnp.float32)))) + 1e-6
         assert da / sa < 0.08, (da, sa)
+
+
+def test_flash_random_shape_sweep_fwd_and_grads():
+    """Shape-fuzz the streaming kernels (interpret): random (bh, n, m, d,
+    block_q, block_kv) in the 128-multiple envelope — forward vs the
+    one-shot softmax everywhere, dQ/dK/dV on a subset (the grid index
+    maps and the lse/di lane-broadcast tiling must hold at every block
+    partition, not just the three fixed cases above)."""
+    import random
+    rng = random.Random(11)
+    for case in range(6):
+        d = rng.choice([8, 16, 32])
+        n = rng.choice([128, 256, 384, 512])
+        m = rng.choice([128, 256, 512, 768])
+        block_q = rng.choice([b for b in (128, 256) if n % b == 0])
+        block_kv = rng.choice([b for b in (128, 256) if m % b == 0])
+        bh = rng.choice([1, 2, 4])
+        q, k, v = _qkv(jax.random.PRNGKey(case), bh, n, m, d)
+        scale = d ** -0.5
+        want = _flash_jnp(q, k, v, scale)
+        got = flash_attention(q, k, v, block_q=block_q, block_kv=block_kv,
+                              interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-6, rtol=2e-6,
+            err_msg=f"case {case}: bh={bh} n={n} m={m} d={d} "
+                    f"bq={block_q} bkv={block_kv}")
+        if case < 2:
+            def loss_f(q, k, v):
+                return jnp.sum(flash_attention(
+                    q, k, v, block_q=block_q, block_kv=block_kv,
+                    interpret=True) ** 2)
+
+            def loss_s(q, k, v):
+                return jnp.sum(_flash_jnp(q, k, v, scale) ** 2)
+
+            gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+            gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+            for a, b in zip(gf, gs):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=5e-5, rtol=5e-5)
