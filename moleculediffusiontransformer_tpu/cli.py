@@ -13,6 +13,7 @@ serving/export story, one subcommand each:
             the rest under property conditioning (RePaint)
   predict   forward direction: SMILES -> 12 QM9 properties
   export    AOT StableHLO serving artifact (``design/export.py``)
+  inspect   artifact kind/specs/bundle report (runs nothing)
   serve     run an artifact model-code-free (``design/serve.py``);
             ``--http PORT`` starts the JSON daemon (``design/http_serve.py``)
 
@@ -265,6 +266,39 @@ def cmd_export(args) -> None:
     # tools/export_serving_artifact.py
 
 
+def cmd_inspect(args) -> None:
+    """Artifact introspection: kind, input specs, platforms, bundle
+    contents, parameter count — without running anything."""
+    import math
+
+    import jax
+
+    from .design import export as dexport
+    from .design.serve import KINDS
+    art, header = dexport.load_bundle(args.artifact)
+    specs, _ = jax.tree_util.tree_unflatten(art.in_tree,
+                                            list(art.in_avals))
+    data_specs = specs[1:]
+    n_params = sum(math.prod(s.shape) if s.shape else 1
+                   for s in jax.tree_util.tree_leaves(specs[0]))
+    _emit({
+        "artifact": args.artifact,
+        "kind": KINDS.get(len(data_specs), "unknown"),
+        "platforms": list(art.platforms),
+        "param_count": n_params,
+        "inputs": [{"shape": list(s.shape), "dtype": str(s.dtype)}
+                   for s in data_specs],
+        "bundle": {
+            "tokenizer_vocab": (len(header["tokenizer"]["word_index"]) + 1
+                                if "tokenizer" in header else None),
+            "scaler": "scaler" in header,
+            "novelty_corpus": len(header.get("training_smiles", [])),
+            **{k: v for k, v in header.items()
+               if k not in ("tokenizer", "scaler", "training_smiles")},
+        },
+    })
+
+
 def cmd_serve(args) -> None:
     """Model-code-free serving: artifact + checkpoint + vocab -> outputs."""
     import jax
@@ -429,6 +463,11 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
     x.set_defaults(fn=cmd_export)
+
+    ins = sub.add_parser("inspect", help="artifact kind/specs/bundle "
+                         "report (runs nothing)")
+    ins.add_argument("artifact")
+    ins.set_defaults(fn=cmd_inspect)
 
     sv = sub.add_parser("serve", help="serve an artifact (no model code)")
     sv.add_argument("artifact")

@@ -92,6 +92,22 @@ def test_serve_http_flag_wiring(tmp_path, capsys, monkeypatch):
                      "served": True, "closed": True}
 
 
+def test_inspect_artifact(tmp_path, capsys):
+    """inspect reports kind/specs/bundle without running the program."""
+    art = str(tmp_path / "enc.mdtx")
+    cli.main(["export", "--task", "forward_transformer", "--out", art,
+              "--batch", "2", "--platforms", "cpu", "--dtype", "float32",
+              "--embed-vocab", "--rows", "64"])
+    capsys.readouterr()
+    out = run(capsys, ["inspect", art])
+    assert out["kind"] == "encoder"
+    assert out["inputs"][0]["shape"][0] == 2
+    assert out["param_count"] > 1000
+    assert out["bundle"]["scaler"] is True
+    assert out["bundle"]["tokenizer_vocab"] > 2
+    assert out["bundle"]["novelty_corpus"] == 64
+
+
 def test_export_inpaint_artifact(tmp_path):
     """export --inpaint emits the RePaint program: 4-input inpainter kind
     detected by the server; rejected for non-diffusion tasks."""
