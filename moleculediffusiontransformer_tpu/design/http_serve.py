@@ -283,6 +283,10 @@ def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
             t0, ok = time.perf_counter(), False
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > 64 * 1024 * 1024:   # refuse before buffering
+                    self._send(413, {"error": f"request body {n} bytes "
+                                     "exceeds the 64 MiB limit"})
+                    return
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(body, dict):
                     raise ServingError("request body must be a JSON object")

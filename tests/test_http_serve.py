@@ -443,3 +443,43 @@ def test_http_fuzz_never_crashes(served):
 
     check()
     assert _get(base + "/healthz")[0] == 200   # daemon survived
+
+
+def test_oversized_body_rejected_before_buffering(served):
+    """A Content-Length beyond the 64 MiB cap gets 413 without the
+    server buffering anything (header checked before read)."""
+    import http.client
+    base, _, _ = served
+    host, port = base.replace("http://", "").split(":")
+    conn = http.client.HTTPConnection(host, int(port), timeout=10)
+    try:
+        conn.putrequest("POST", "/sample")
+        conn.putheader("Content-Length", str(100 * 1024 * 1024))
+        conn.putheader("Content-Type", "application/json")
+        conn.endheaders()          # never send the body
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "64 MiB" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+    assert _get(base + "/healthz")[0] == 200
+
+
+def test_concurrent_requests_serialize_on_device(served):
+    """Parallel requests are accepted concurrently, serialize behind the
+    device lock, and each gets its own correct (deterministic) answer."""
+    from concurrent.futures import ThreadPoolExecutor
+    base, _, data = served
+    physical = data.scaler.inverse_transform(
+        np.asarray(data.y_test[:1], np.float32))
+    row = [[float(v) for v in physical[0]]]
+
+    def call(seed):
+        return _post(base + "/sample", {"properties": row, "seed": seed})
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(call, [5, 5, 6, 6]))
+    assert all(status == 200 for status, _ in results)
+    smiles = [out["smiles"] for _, out in results]
+    assert smiles[0] == smiles[1]      # same seed -> same molecule
+    assert smiles[2] == smiles[3]
