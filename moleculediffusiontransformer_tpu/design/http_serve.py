@@ -108,7 +108,11 @@ class _Endpoints:
             raise ServingError("'properties' must be a non-empty list of "
                                "property rows")
         n_cond = self.server.specs[0].shape[1]
-        props = np.asarray(rows, np.float32)
+        try:
+            props = np.asarray(rows, np.float32)
+        except (ValueError, TypeError):
+            raise ServingError("'properties' rows must be rectangular "
+                               "lists of numbers")
         if props.ndim != 2:
             raise ServingError("'properties' must be 2-D (rows x features)")
         if props.shape[0] > self.server.batch:
@@ -220,9 +224,16 @@ class _Endpoints:
         ids = pad_sequences(self.tokenizer.texts_to_sequences(texts),
                             max_length)
         logits = self.server.call_padded(np.asarray(ids, np.int32))
-        scaled = logits.reshape(len(smiles), -1)[:, :12]
-        props = (self.scaler.inverse_transform(scaled)
-                 if self.scaler is not None else scaled)
+        flat = logits.reshape(len(smiles), -1)
+        if self.scaler is not None:
+            want = len(self.scaler.data_min_)
+            if flat.shape[1] < want:
+                raise ServingError(
+                    f"artifact outputs {flat.shape[1]} values per row; "
+                    f"the scaler expects {want}", status=500)
+            props = self.scaler.inverse_transform(flat[:, :want])
+        else:
+            props = flat
         return {"properties": [[float(v) for v in row] for row in props]}
 
 

@@ -303,6 +303,11 @@ def test_http_error_codes(served):
     # wrong property-row width under a scaler -> clean 400, not a 500
     status, err = _post(base + "/sample", {"properties": [[0.0] * 3]})
     assert status == 400 and "12 properties" in err["error"]
+    # ragged / non-numeric rows -> clean 400, not a 500
+    assert _post(base + "/sample",
+                 {"properties": [[0.0] * 12, [0.0]]})[0] == 400
+    assert _post(base + "/sample",
+                 {"properties": [["x"] * 12]})[0] == 400
     # wrong endpoint for the artifact kind -> 409
     assert _post(base + "/generate",
                  {"properties": [[0.0] * 12]})[0] == 409
