@@ -568,3 +568,56 @@ def test_sequence_random_config_golden_vs_torch(reference_transformer):
         o = ours.apply(variables, sj, ij, cond_drop_prob=0.0)
         assert np.allclose(o, r, atol=1e-4), (
             case, kw, float(np.abs(np.asarray(o) - r).max()))
+
+
+def test_encoder_internaldim_random_config_golden_vs_torch(
+        reference_transformer):
+    """Config-fuzz GOLDEN parity for the two remaining families: the
+    property encoder (pooling/projection wiring across output geometries)
+    and the Internaldim decoder (separate embed vs internal dim)."""
+    import random
+    import torch
+    rng = random.Random(9)
+    for case in range(4):
+        kw = dict(dim=rng.choice([16, 32]), depth=rng.choice([1, 2]),
+                  logits_dim=rng.choice([1, 3]),
+                  logits_dim_length=rng.choice([6, 12]),
+                  max_length=rng.choice([8, 16]),
+                  max_tokens=rng.choice([16, 24]),
+                  heads=rng.choice([2, 4]), ff_mult=rng.choice([2, 4]),
+                  embed_dim=rng.choice([8, 16]))
+        torch.manual_seed(case)
+        ref = reference_transformer.MoleculeTransformerSequenceEncoder(**kw)
+        ref.eval()
+        ids = torch.randint(0, kw["max_tokens"], (2, kw["max_length"]))
+        with torch.no_grad():
+            r = ref(ids).numpy()
+        ours = MoleculeTransformerSequenceEncoder(**kw)
+        ij = to_jax(ids).astype(jnp.int32)
+        variables = import_params(ours, ref, ij)
+        o = ours.apply(variables, ij)
+        assert np.allclose(o, r, atol=1e-4), (case, kw)
+
+    for case in range(4):
+        kw = dict(dim=rng.choice([16, 32]), depth=rng.choice([1, 2]),
+                  logits_dim=rng.choice([16, 24]),
+                  dim_head=rng.choice([4, 8]), heads=rng.choice([2, 4]),
+                  text_embed_dim=rng.choice([8, 16]),
+                  max_text_len=rng.choice([8, 12]),
+                  max_tokens=rng.choice([24, 32]),
+                  embed_dim=rng.choice([8, 16]),
+                  one_kv_head=rng.random() < 0.5)
+        torch.manual_seed(case + 50)
+        ref = reference_transformer.MoleculeTransformerSequenceInternaldim(
+            **kw)
+        ref.eval()
+        seq = torch.rand(2, kw["max_text_len"]) * 2 - 1
+        ids = torch.randint(1, kw["logits_dim"], (2, 6))
+        with torch.no_grad():
+            r = ref(sequences=seq, output=ids, cond_drop_prob=0.0).numpy()
+        ours = MoleculeTransformerSequenceInternaldim(**kw)
+        sj, ij = to_jax(seq), to_jax(ids).astype(jnp.int32)
+        variables = import_params(ours, ref, sj, ij,
+                                  key=jax.random.PRNGKey(1))
+        o = ours.apply(variables, sj, ij, cond_drop_prob=0.0)
+        assert np.allclose(o, r, atol=1e-4), (case, kw)
