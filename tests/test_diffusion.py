@@ -304,3 +304,45 @@ def test_inpaint_keeps_masked_region():
                         num_steps, num_resamples=2)
     np.testing.assert_allclose(j2n(out[:, :4]), j2n(source[:, :4]))
     assert not np.allclose(j2n(out[:, 4:]), j2n(source[:, 4:]))
+
+
+def test_adpm2_full_loop_schedule_sweep_matches_reference(reference):
+    """Schedule-sweep golden: whole ADPM2 trajectories across random
+    (num_steps, rho, sigma range) combinations with injected per-step
+    noise — the sigma split (adpm2_sigmas) and the two-stage update must
+    match the torch loop at every schedule, not just the fixed 8-step
+    rho=1 case above."""
+    rng_cfg = np.random.RandomState(13)
+    for case in range(4):
+        num_steps = int(rng_cfg.choice([4, 12, 20]))
+        rho = float(rng_cfg.choice([0.5, 1.0, 2.0]))
+        s_min = float(rng_cfg.choice([1e-3, 1e-2]))
+        s_max = float(rng_cfg.choice([3.0, 9.0]))
+        rng = np.random.RandomState(100 + case)
+        start_noise = rng.randn(2, 4, 16).astype(np.float32)
+        sigmas_np = karras_schedule(num_steps, s_min, s_max, 3.0)
+        step_noises = [rng.randn(2, 4, 16).astype(np.float32)
+                       for _ in range(num_steps - 1)]
+
+        theirs, n_calls = _run_ref_sampler(
+            reference, reference.diffusion.ADPM2Sampler(rho=rho),
+            start_noise, sigmas_np, num_steps, step_noises)
+        assert n_calls == num_steps - 1
+
+        from moleculediffusiontransformer_tpu.diffusion.samplers import \
+            adpm2_sigmas
+        kd = KDiffusion(sigma_data=0.1)
+        denoise = lambda xx, ss: kd.denoise(_jax_affine_net, xx, ss)
+        x = jnp.asarray(sigmas_np[0] * start_noise)
+        for i in range(num_steps - 1):
+            s = jnp.float32(sigmas_np[i])
+            sn = jnp.float32(sigmas_np[i + 1])
+            s_up, s_down, s_mid = adpm2_sigmas(s, sn, rho)
+            d1 = (x - denoise(x, jnp.full((2,), s))) / s
+            x_mid = x + d1 * (s_mid - s)
+            d_mid = (x_mid - denoise(x_mid, jnp.full((2,), s_mid))) / s_mid
+            x = x + d_mid * (s_down - s) + jnp.asarray(step_noises[i]) * s_up
+        np.testing.assert_allclose(
+            j2n(x), theirs, rtol=1e-4, atol=1e-5,
+            err_msg=f"case {case}: steps={num_steps} rho={rho} "
+                    f"range=({s_min},{s_max})")
