@@ -39,6 +39,7 @@ from flax import linen as nn
 
 from ..nn.embeddings import positional_encoding_1d
 from ..nn.primitives import Dense, Dtype, Embed, gelu, mm_precision
+from ..nn.moe import MoEFeedForward
 from ..nn.transformer_blocks import (NEG_INF, AttentionQKV, FeedForwardCNN,
                                      LNGamma, MQAttention, gumbel_sample,
                                      prob_mask_like, top_k_filter)
@@ -461,6 +462,12 @@ class MoleculeTransformerGPT(nn.Module):
     ff_conv_kernel: int = 0
     ff_inner_conv_kernel: int = 0
     ff_glu: bool = False
+    # TPU-native EXTENSION (beyond reference, see nn/moe.py): >0 replaces
+    # each dense FF with a sparsely-activated MoE of that many experts,
+    # stacked for expert-parallel sharding (parallel/ep.py).
+    ff_num_experts: int = 0
+    ff_expert_top_k: int = 2
+    ff_expert_capacity_factor: float = 1.25
     gnn_layers: int = 0
     gnn_att_threshold_min: float = 0.0
     gnn_att_threshold_max: float = 1.0
@@ -490,7 +497,17 @@ class MoleculeTransformerGPT(nn.Module):
                 gnn_att_threshold_min=self.gnn_att_threshold_min,
                 gnn_att_threshold_max=self.gnn_att_threshold_max,
                 dtype=self.dtype))
-            if self.ff_conv_kernel == 0 and self.ff_inner_conv_kernel == 0:
+            if self.ff_num_experts > 0:
+                assert self.ff_conv_kernel == 0 and \
+                    self.ff_inner_conv_kernel == 0, \
+                    "MoE FF and FF-CNN are mutually exclusive"
+                setattr(self, f"layers_{i}_1_0", LNGamma(dtype=self.dtype))
+                setattr(self, f"layers_{i}_1_moe", MoEFeedForward(
+                    dim=self.dim, num_experts=self.ff_num_experts,
+                    mult=self.ff_mult, top_k=self.ff_expert_top_k,
+                    capacity_factor=self.ff_expert_capacity_factor,
+                    dtype=self.dtype))
+            elif self.ff_conv_kernel == 0 and self.ff_inner_conv_kernel == 0:
                 hidden = int(self.dim * self.ff_mult)
                 setattr(self, f"layers_{i}_1_0", LNGamma(dtype=self.dtype))
                 setattr(self, f"layers_{i}_1_1",
@@ -509,6 +526,9 @@ class MoleculeTransformerGPT(nn.Module):
                                dtype=self.dtype)
 
     def _ff(self, i: int, x: jax.Array) -> jax.Array:
+        if self.ff_num_experts > 0:
+            h = getattr(self, f"layers_{i}_1_0")(x)
+            return getattr(self, f"layers_{i}_1_moe")(h)
         if self.ff_conv_kernel == 0 and self.ff_inner_conv_kernel == 0:
             h = getattr(self, f"layers_{i}_1_0")(x)
             h = gelu(getattr(self, f"layers_{i}_1_1")(h))

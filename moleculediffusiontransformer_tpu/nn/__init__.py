@@ -22,6 +22,7 @@ from .transformer_blocks import (AttentionQKV, CausalDSConv, FeedForwardCNN,
                                  GCNLayer, GLU, GraphConvLayers, LNGamma,
                                  MQAttention, RelPosBias2d, gumbel_sample,
                                  prob_mask_like, top_k_filter)
+from .moe import MoEFeedForward, moe_capacity
 from .dsp import downsample, resample, upsample
 from .stft import STFT
 from .autoencoder import (AutoEncoder1d, Decoder1d, Encoder1d,

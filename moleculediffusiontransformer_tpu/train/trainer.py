@@ -216,6 +216,45 @@ def make_transformer_train_step(model, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_gpt_train_step(model, tx: optax.GradientTransformation,
+                        donate: bool = True, aux_loss_weight: float = 0.0,
+                        ignore_padding_zeros: bool = False) -> Callable:
+    """Jitted step for the unconditional GPT decoders (CE loss —
+    reference `train_loop_GPT`, `generative.py` lineage):
+    ``state, ids, key -> state, loss``.
+
+    ``aux_loss_weight > 0`` adds the MoE load-balance loss the MoE FF
+    layers sow (``nn/moe.py``; averaged over layers — Switch Transformer
+    style, typical weight 1e-2).  Required for stable MoE training
+    (``ff_num_experts > 0``); a no-op (and zero-cost) for dense models.
+    """
+
+    def loss_fn(params, ids, key):
+        del key  # reserved for mask_prob variants; CE itself is pure
+        if aux_loss_weight:
+            loss, state = model.apply(
+                {"params": params}, ids, return_loss=True,
+                ignore_padding_zeros=ignore_padding_zeros,
+                mutable=["aux_loss"])
+            aux = jax.tree_util.tree_leaves(state.get("aux_loss", {}))
+            if aux:
+                loss = loss + aux_loss_weight * (
+                    sum(jnp.sum(a) for a in aux) / len(aux))
+            return loss
+        return model.apply({"params": params}, ids, return_loss=True,
+                           ignore_padding_zeros=ignore_padding_zeros)
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, ids, key):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, ids, key)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(step=state.step + 1, params=params,
+                             opt_state=opt_state), loss
+
+    return train_step
+
+
 def make_encoder_train_step(model, tx: optax.GradientTransformation,
                             donate: bool = True) -> Callable:
     """Jitted step for the forward encoder (MSE on (b, 1, 12) outputs —
