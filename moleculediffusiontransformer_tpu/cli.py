@@ -312,14 +312,16 @@ def cmd_serve(args) -> None:
     if getattr(args, "http", None) is not None:
         from .design.http_serve import make_httpd
         if server.tokenizer is not None:     # bundled artifact: no dataset
-            httpd = make_httpd(server, host=args.host, port=args.http)
+            httpd = make_httpd(server, host=args.host, port=args.http,
+                               batch_window_ms=args.batch_window_ms)
         else:
             mode = {"encoder": "transformer",
                     "generator": "transformer"}.get(server.kind,
                                                     "inverse_diffusion")
             data = _dataset(args, mode)
             httpd = make_httpd(server, data.tokenizer, data.scaler,
-                               data.smiles, host=args.host, port=args.http)
+                               data.smiles, host=args.host, port=args.http,
+                               batch_window_ms=args.batch_window_ms)
         print(f"serving {server.kind} artifact on "
               f"http://{httpd.server_address[0]}:{httpd.server_address[1]} "
               "(POST /sample|/generate|/predict|/inpaint, "
@@ -478,6 +480,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="start a JSON HTTP daemon instead of a one-shot "
                     "run (design/http_serve.py)")
     sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--batch-window-ms", type=float, default=0.0,
+                    help="dynamic-batching window for /predict on encoder "
+                    "artifacts: concurrent requests within the window "
+                    "coalesce into one device call (exact; 0 disables)")
     _data_flags(sv)
     sv.set_defaults(fn=cmd_serve)
     return p

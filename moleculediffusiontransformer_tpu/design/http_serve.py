@@ -80,16 +80,129 @@ class _Metrics:
             return {"routes": routes, "errors": self.errors}
 
 
+class _MicroBatcher:
+    """Dynamic batching for EXACT row-independent routes (/predict).
+
+    The encoder artifact takes no PRNG key and computes each row
+    independently, so coalescing concurrent requests into one padded
+    device call returns bit-identical per-request results while turning
+    k single-row device calls into one — the classic TPU serving win
+    (the fixed-batch program runs at the same cost for 1 row as for
+    ``max_rows``).  Sampler/generator/inpainter artifacts take ONE key
+    per call, so coalescing would change their noise draw; they stay
+    per-request.
+
+    One daemon worker: the first queued request opens a window of
+    ``window_s``; everything that arrives before it closes (or until
+    ``max_rows`` rows are pending) rides the same device call.
+    """
+
+    def __init__(self, fn, max_rows: int, window_s: float):
+        import threading
+        self._fn = fn                      # stacked rows -> stacked outputs
+        self.max_rows = max_rows
+        self.window_s = window_s
+        self._cv = threading.Condition()
+        self._queue: list = []
+        self._stop = False
+        self.device_calls = 0
+        self.rows_served = 0
+        self.requests = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="mdtx-microbatch")
+        self._thread.start()
+
+    def submit(self, rows: np.ndarray) -> np.ndarray:
+        """Block until this request's rows come back from a device call."""
+        import threading
+        import time
+        item = {"rows": rows, "out": None, "err": None,
+                "t": time.monotonic(), "ev": threading.Event()}
+        with self._cv:
+            self._queue.append(item)
+            self.requests += 1
+            self._cv.notify_all()
+        item["ev"].wait()
+        if item["err"] is not None:
+            raise item["err"]
+        return item["out"]
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _loop(self) -> None:
+        import time
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    for it in self._queue:   # fail pending, don't hang them
+                        it["err"] = RuntimeError("server shutting down")
+                        it["ev"].set()
+                    return
+            while True:   # window anchored at the HEAD request's arrival —
+                with self._cv:  # a request left over from an overflow round
+                    # has already waited its window and dispatches at once
+                    deadline = self._queue[0]["t"] + self.window_s
+                    rows = sum(len(i["rows"]) for i in self._queue)
+                    remaining = deadline - time.monotonic()
+                    if rows >= self.max_rows or remaining <= 0:
+                        batch: list = []
+                        total = 0
+                        while self._queue and (
+                                total + len(self._queue[0]["rows"])
+                                <= self.max_rows):
+                            it = self._queue.pop(0)
+                            total += len(it["rows"])
+                            batch.append(it)
+                        break
+                    self._cv.wait(timeout=remaining)
+            try:
+                outs = self._fn(np.concatenate([i["rows"] for i in batch]))
+                self.device_calls += 1
+                self.rows_served += total
+                off = 0
+                for it in batch:
+                    n = len(it["rows"])
+                    it["out"] = outs[off:off + n]
+                    off += n
+            except Exception as e:          # noqa: BLE001 — relay to waiters
+                for it in batch:
+                    it["err"] = e
+            finally:
+                for it in batch:
+                    it["ev"].set()
+
+    def snapshot(self) -> dict:
+        return {"requests": self.requests,
+                "device_calls": self.device_calls,
+                "rows_served": self.rows_served}
+
+
 class _Endpoints:
     """Request -> array -> device -> JSON glue, one method per route."""
 
     def __init__(self, server: ArtifactServer, tokenizer=None, scaler=None,
-                 training_smiles: Sequence[str] = ()):
+                 training_smiles: Sequence[str] = (), *,
+                 device_lock=None, batch_window_ms: float = 0.0):
+        import threading
         self.server = server
         self.tokenizer = tokenizer
         self.scaler = scaler
         self.training_smiles = list(training_smiles)
         self.metrics = _Metrics()
+        self.device_lock = device_lock or threading.Lock()
+        self.batcher: Optional[_MicroBatcher] = None
+        if batch_window_ms > 0 and server.kind == "encoder":
+            def run(ids: np.ndarray) -> np.ndarray:
+                with self.device_lock:
+                    return self.server.call_padded(ids)
+            self.batcher = _MicroBatcher(run, server.batch,
+                                         batch_window_ms / 1e3)
 
     def healthz(self) -> dict:
         return {"status": "ok", "kind": self.server.kind,
@@ -143,7 +256,8 @@ class _Endpoints:
         from .inverse_design import decode_one_hot, evaluate_generated
         props = self._props(body)
         key = jax.random.PRNGKey(int(body.get("seed", 0)))
-        out = self.server.call_padded(props, key=key)
+        with self.device_lock:
+            out = self.server.call_padded(props, key=key)
         smiles = decode_one_hot(out, self.tokenizer)
         rep = evaluate_generated(smiles, self.training_smiles)
         return {"smiles": smiles,
@@ -160,7 +274,8 @@ class _Endpoints:
             body.get("start_char", "@"), 1)
         start = np.full((props.shape[0], self.server.specs[1].shape[1]),
                         start_id, np.int32)
-        ids = self.server.call_padded(props, start, key=key)
+        with self.device_lock:
+            ids = self.server.call_padded(props, start, key=key)
         smiles = [remove_start_end_token_first(t)
                   for t in self.tokenizer.decode(ids)]
         rep = evaluate_generated(smiles, self.training_smiles)
@@ -175,7 +290,8 @@ class _Endpoints:
             raise ServingError("'checkpoint' must be a path string")
         if not os.path.exists(path):
             raise ServingError(f"no checkpoint at {path}")
-        self.server.reload_checkpoint(path)
+        with self.device_lock:
+            self.server.reload_checkpoint(path)
         return {"status": "reloaded", "restored_from": path}
 
     def inpaint(self, body: dict) -> dict:
@@ -203,7 +319,8 @@ class _Endpoints:
         if fixed:
             mask[:, fixed, :] = True
         key = jax.random.PRNGKey(int(body.get("seed", 0)))
-        out = self.server.call_padded(props, source, mask, key=key)
+        with self.device_lock:
+            out = self.server.call_padded(props, source, mask, key=key)
         smiles = decode_one_hot(out, self.tokenizer)
         rep = evaluate_generated(smiles, self.training_smiles)
         return {"smiles": smiles,
@@ -223,8 +340,13 @@ class _Endpoints:
         texts = add_start_end_char([str(s) for s in smiles])
         ids = pad_sequences(self.tokenizer.texts_to_sequences(texts),
                             max_length)
-        logits = self.server.call_padded(np.asarray(ids, np.int32))
-        flat = logits.reshape(len(smiles), -1)
+        ids = np.asarray(ids, np.int32)
+        if self.batcher is not None and len(smiles) < self.server.batch:
+            logits = self.batcher.submit(ids)
+        else:
+            with self.device_lock:
+                logits = self.server.call_padded(ids)
+        flat = np.asarray(logits).reshape(len(smiles), -1)
         if self.scaler is not None:
             want = len(self.scaler.data_min_)
             if flat.shape[1] < want:
@@ -240,25 +362,33 @@ class _Endpoints:
 def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
                training_smiles: Sequence[str] = (), *,
                host: str = "127.0.0.1", port: int = 8000,
-               quiet: bool = False) -> ThreadingHTTPServer:
+               quiet: bool = False,
+               batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port=0`` auto-assigns
     (read it back from ``httpd.server_address[1]``).
 
     Requests are accepted concurrently but device calls serialize behind
     one lock — a single compiled program shares one device.
 
+    ``batch_window_ms > 0`` enables dynamic batching on ``/predict``
+    (encoder artifacts): concurrent requests arriving within the window
+    coalesce into ONE padded device call — exact, because the encoder
+    program is keyless and row-independent — multiplying concurrent
+    throughput by up to the artifact batch.  Randomized routes
+    (sample/generate/inpaint) keep per-request calls: each request's
+    seed owns the whole batch's noise draw.
+
     ``tokenizer``/``scaler``/``training_smiles`` default to whatever the
     artifact bundle embeds (``export.save_artifact``), so a bundled
     artifact serves with ``make_httpd(server)`` alone."""
-    import threading
     if tokenizer is None:
         tokenizer = getattr(server, "tokenizer", None)
     if scaler is None:
         scaler = getattr(server, "scaler", None)
     if not training_smiles:
         training_smiles = getattr(server, "training_smiles", ()) or ()
-    ep = _Endpoints(server, tokenizer, scaler, training_smiles)
-    device_lock = threading.Lock()
+    ep = _Endpoints(server, tokenizer, scaler, training_smiles,
+                    batch_window_ms=batch_window_ms)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, status: int, payload: dict) -> None:
@@ -279,7 +409,10 @@ def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
             elif self.path == "/specs":
                 self._send(200, ep.specs())
             elif self.path == "/metrics":
-                self._send(200, ep.metrics.snapshot())
+                snap = ep.metrics.snapshot()
+                if ep.batcher is not None:
+                    snap["predict_batching"] = ep.batcher.snapshot()
+                self._send(200, snap)
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
@@ -301,8 +434,10 @@ def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(body, dict):
                     raise ServingError("request body must be a JSON object")
-                with device_lock:
-                    payload = route(body)
+                # endpoints take the device lock themselves around their
+                # device sections (batched /predict must queue WITHOUT
+                # holding it, or it would deadlock its own worker)
+                payload = route(body)
                 ok = True
                 self._send(200, payload)
             except ServingError as e:

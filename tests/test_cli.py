@@ -80,15 +80,18 @@ def test_serve_http_flag_wiring(tmp_path, capsys, monkeypatch):
         def server_close(self):
             calls["closed"] = True
 
-    def fake_make_httpd(server, tokenizer, scaler, smiles, *, host, port):
+    def fake_make_httpd(server, tokenizer, scaler, smiles, *, host, port,
+                        batch_window_ms=0.0):
         assert server.kind == "encoder"
         assert tokenizer is not None and scaler is not None and smiles
         calls["port"], calls["host"] = port, host
+        calls["window"] = batch_window_ms
         return _Stub()
 
     monkeypatch.setattr(http_serve, "make_httpd", fake_make_httpd)
-    cli.main(["serve", art, "--rows", "96", "--http", "8123"])
-    assert calls == {"port": 8123, "host": "127.0.0.1",
+    cli.main(["serve", art, "--rows", "96", "--http", "8123",
+              "--batch-window-ms", "5"])
+    assert calls == {"port": 8123, "host": "127.0.0.1", "window": 5.0,
                      "served": True, "closed": True}
 
 

@@ -488,3 +488,103 @@ def test_concurrent_requests_serialize_on_device(served):
     smiles = [out["smiles"] for _, out in results]
     assert smiles[0] == smiles[1]      # same seed -> same molecule
     assert smiles[2] == smiles[3]
+
+
+def _encoder_httpd(served, tmp_path, batch, window_ms):
+    """Tiny encoder artifact + daemon with dynamic batching configured."""
+    from moleculediffusiontransformer_tpu.models import \
+        MoleculeTransformerSequenceEncoder
+    _, _, data = served
+    model = MoleculeTransformerSequenceEncoder(
+        dim=32, depth=2, heads=4, ff_mult=2, logits_dim=1,
+        logits_dim_length=12, max_length=16,
+        max_tokens=data.vocab_size + 2, embed_dim=8)
+    with jax.default_device(CPU):
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((batch, 16), jnp.int32))
+        exported = dexport.export_encoder(model, variables, batch=batch,
+                                          max_length=16, platforms=("cpu",))
+        art = str(tmp_path / "be.mdtx")
+        dexport.save_artifact(exported, art)
+        ck = str(tmp_path / "beck.msgpack")
+        save_checkpoint(ck, jax.device_get(variables))
+        server = ArtifactServer(art, ck)
+        httpd = make_httpd(server, data.tokenizer, data.scaler, data.smiles,
+                           port=0, quiet=True, batch_window_ms=window_ms)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}", data
+
+
+def test_predict_dynamic_batching_coalesces_and_is_exact(served, tmp_path):
+    """batch_window_ms>0: concurrent single-molecule /predict requests
+    ride ONE device call (metrics prove it) and every response equals the
+    sequential (uncoalesced) answer bit-for-bit — the encoder program is
+    keyless and row-independent, so coalescing is exact."""
+    from concurrent.futures import ThreadPoolExecutor
+    httpd, base, data = _encoder_httpd(served, tmp_path, batch=4,
+                                       window_ms=1500.0)
+    try:
+        mols = [data.smiles[i] for i in range(3)]
+        # sequential baseline (each rides its own window -> own call)
+        solo = {}
+        for m in mols:
+            status, out = _post(base + "/predict", {"smiles": [m]})
+            assert status == 200
+            solo[m] = out["properties"]
+        _, before = _get(base + "/metrics")
+        calls0 = before["predict_batching"]["device_calls"]
+
+        def call(m):
+            return _post(base + "/predict", {"smiles": [m]})
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            results = list(ex.map(call, mols))
+        assert all(status == 200 for status, _ in results)
+        for m, (_, out) in zip(mols, results):
+            assert out["properties"] == solo[m]   # exact, not just close
+
+        _, after = _get(base + "/metrics")
+        pb = after["predict_batching"]
+        burst_calls = pb["device_calls"] - calls0
+        assert burst_calls < 3, pb   # the burst coalesced
+        assert pb["requests"] >= 6
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_predict_dynamic_batching_overflow_splits_rounds(served, tmp_path):
+    """Two concurrent 3-row requests against a batch-4 artifact cannot
+    share one call: the batcher splits them into two exact rounds, and the
+    leftover round dispatches immediately (window anchored at arrival)."""
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+    httpd, base, data = _encoder_httpd(served, tmp_path, batch=4,
+                                       window_ms=800.0)
+    try:
+        groups = [[data.smiles[i] for i in range(3)],
+                  [data.smiles[i] for i in range(3, 6)]]
+        solo = [ _post(base + "/predict", {"smiles": g})[1]["properties"]
+                 for g in groups]
+        _, before = _get(base + "/metrics")
+        calls0 = before["predict_batching"]["device_calls"]
+
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            results = list(ex.map(
+                lambda g: _post(base + "/predict", {"smiles": g}), groups))
+        elapsed = time.monotonic() - t0
+        assert all(status == 200 for status, _ in results)
+        got = {tuple(g): out["properties"] for g, (_, out)
+               in zip(groups, results)}
+        for g, expect in zip(groups, solo):
+            assert got[tuple(g)] == expect
+
+        _, after = _get(base + "/metrics")
+        assert after["predict_batching"]["device_calls"] - calls0 == 2
+        # the second round must NOT wait a fresh full window on top of the
+        # first (its head request had already aged past the window)
+        assert elapsed < 3 * 0.8 + 2.0, elapsed
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
