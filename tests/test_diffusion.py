@@ -306,6 +306,128 @@ def test_inpaint_keeps_masked_region():
     assert not np.allclose(j2n(out[:, 4:]), j2n(source[:, 4:]))
 
 
+def test_v_full_loop_matches_reference(reference):
+    """Whole V-sampler trajectories (deterministic — no noise injection
+    needed) vs the torch VSampler across several step counts.  Pins the
+    alpha/beta rotation flow incl. the reference's quirk of returning the
+    last x_pred (its dead ``is_last`` branch, `diffusion.py:385`)."""
+    for num_steps in (3, 8, 17):
+        rng = np.random.RandomState(20 + num_steps)
+        start_noise = rng.randn(2, 4, 16).astype(np.float32)
+        sigmas_np = np.asarray(linear_schedule(num_steps), np.float32)
+
+        vd_ref = reference.diffusion.VDiffusion(
+            net=_TorchAffineNet(), sigma_distribution=None)
+        theirs = reference.diffusion.VSampler()(
+            torch.tensor(start_noise), fn=vd_ref.denoise_fn,
+            sigmas=torch.tensor(sigmas_np), num_steps=num_steps).numpy()
+
+        from moleculediffusiontransformer_tpu.diffusion import VDiffusion
+        vd = VDiffusion()
+        denoise = lambda xx, ss: vd.denoise(_jax_affine_net, xx, ss)
+        ours = sample_v(denoise, jnp.asarray(start_noise),
+                        jnp.asarray(sigmas_np), jax.random.PRNGKey(0),
+                        num_steps)
+        np.testing.assert_allclose(j2n(ours), theirs, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"num_steps={num_steps}")
+
+
+def _scan_step_noises(key, num_steps, shape):
+    """The exact per-step draws our scan samplers make: they split the call
+    key into num_steps-1 step keys and draw one normal(shape) from each
+    (samplers.py body) — precompute those so the torch oracle can be fed
+    bit-identical noise."""
+    keys = jax.random.split(key, num_steps - 1)
+    return [np.asarray(jax.random.normal(k, shape, jnp.float32))
+            for k in keys]
+
+
+def test_aeuler_full_loop_schedule_sweep_matches_reference(reference):
+    """Whole AEuler trajectories from the REAL ``sample_aeuler`` scan vs the
+    torch AEulerSampler, across random (num_steps, sigma range) schedules,
+    with the torch side fed the scan's own per-step noise draws."""
+    rng_cfg = np.random.RandomState(17)
+    for case in range(4):
+        num_steps = int(rng_cfg.choice([4, 9, 16]))
+        s_min = float(rng_cfg.choice([1e-3, 1e-2]))
+        s_max = float(rng_cfg.choice([3.0, 9.0]))
+        rng = np.random.RandomState(200 + case)
+        start_noise = rng.randn(2, 4, 16).astype(np.float32)
+        sigmas_np = karras_schedule(num_steps, s_min, s_max, 3.0)
+        key = jax.random.PRNGKey(300 + case)
+        step_noises = _scan_step_noises(key, num_steps, start_noise.shape)
+
+        theirs, n_calls = _run_ref_sampler(
+            reference, reference.diffusion.AEulerSampler(), start_noise,
+            sigmas_np, num_steps, step_noises)
+        assert n_calls == num_steps - 1
+
+        kd = KDiffusion(sigma_data=0.1)
+        denoise = lambda xx, ss: kd.denoise(_jax_affine_net, xx, ss)
+        ours = sample_aeuler(denoise, jnp.asarray(start_noise),
+                             jnp.asarray(sigmas_np), key, num_steps)
+        np.testing.assert_allclose(
+            j2n(ours), theirs, rtol=1e-4, atol=1e-5,
+            err_msg=f"case {case}: steps={num_steps} "
+                    f"range=({s_min},{s_max})")
+
+
+def test_karras_full_loop_matches_paper_corrected_reference(reference):
+    """Whole churned-Karras trajectories from the REAL ``sample_karras``
+    scan vs the torch KarrasSampler ORACLED WITH THE PAPER'S second-order
+    term: the reference's ``0.5 * (sigma - sigma_hat)`` (`diffusion.py:434`)
+    makes its zero-churn sampler a no-op — a recorded intentional deviation
+    (see samplers.py docstring; `test_karras_sampler_actually_denoises`
+    guards the behavioral side).  Patching that ONE factor to the paper's
+    ``sigma_next - sigma_hat`` lets everything else — gamma/churn schedule,
+    s_tmin/s_tmax gating, noise scaling, Euler + correction flow — be
+    golden-pinned against torch with the scan's own noise draws injected."""
+
+    class _PaperKarras(reference.diffusion.KarrasSampler):
+        def step(self, x, fn, sigma, sigma_next, gamma):
+            import math as m
+            sigma_hat = sigma + gamma * sigma
+            epsilon = self.s_noise * torch.randn_like(x)
+            x_hat = x + m.sqrt(sigma_hat ** 2 - sigma ** 2) * epsilon
+            d = (x_hat - fn(x_hat, sigma=sigma_hat)) / sigma_hat
+            x_next = x_hat + (sigma_next - sigma_hat) * d
+            if sigma_next != 0:
+                d_prime = (x_next - fn(x_next, sigma=sigma_next)) / sigma_next
+                x_next = x_hat + 0.5 * (sigma_next - sigma_hat) * (d + d_prime)
+            return x_next
+
+    rng_cfg = np.random.RandomState(23)
+    for case in range(4):
+        num_steps = int(rng_cfg.choice([4, 9, 16]))
+        s_churn = float(rng_cfg.choice([0.5, 2.0, 10.0]))
+        s_noise = float(rng_cfg.choice([0.9, 1.0]))
+        s_tmin = float(rng_cfg.choice([0.0, 0.05]))
+        s_tmax = float(rng_cfg.choice([2.0, float("inf")]))
+        rng = np.random.RandomState(400 + case)
+        start_noise = rng.randn(2, 4, 16).astype(np.float32)
+        sigmas_np = karras_schedule(num_steps, 1e-3, 9.0, 3.0)
+        key = jax.random.PRNGKey(500 + case)
+        step_noises = _scan_step_noises(key, num_steps, start_noise.shape)
+
+        theirs, n_calls = _run_ref_sampler(
+            reference,
+            _PaperKarras(s_tmin=s_tmin, s_tmax=s_tmax, s_churn=s_churn,
+                         s_noise=s_noise),
+            start_noise, sigmas_np, num_steps, step_noises)
+        assert n_calls == num_steps - 1
+
+        kd = KDiffusion(sigma_data=0.1)
+        denoise = lambda xx, ss: kd.denoise(_jax_affine_net, xx, ss)
+        ours = sample_karras(denoise, jnp.asarray(start_noise),
+                             jnp.asarray(sigmas_np), key, num_steps,
+                             s_tmin=s_tmin, s_tmax=s_tmax, s_churn=s_churn,
+                             s_noise=s_noise)
+        np.testing.assert_allclose(
+            j2n(ours), theirs, rtol=1e-4, atol=1e-5,
+            err_msg=f"case {case}: steps={num_steps} churn={s_churn} "
+                    f"noise={s_noise} tmin={s_tmin} tmax={s_tmax}")
+
+
 def test_adpm2_full_loop_schedule_sweep_matches_reference(reference):
     """Schedule-sweep golden: whole ADPM2 trajectories across random
     (num_steps, rho, sigma range) combinations with injected per-step
