@@ -6,8 +6,10 @@ conditional diffusion over packed per-node tensors — row 0 node numbers
 Channels-last packing here: input (b, L, 4 + neighbor_rows).
 
 Recorded deviation: the reference's ``AnalogDiffusionSparse.forward`` reads
-a free global ``max_neighbors`` (`graphmodel.py:320`, a latent NameError);
-here it is an explicit field.
+a free global ``max_neighbors`` UNCONDITIONALLY (`graphmodel.py:320`) — the
+slice runs before the ``predict_neighbors`` guard, so every reference
+Sparse forward raises NameError unless the caller injects that global into
+the module namespace; here it is an explicit field.
 """
 from __future__ import annotations
 
@@ -58,15 +60,21 @@ class AnalogDiffusionSparse(QMDiffusionBase):
 
 class AnalogDiffusionFull(AnalogDiffusionSparse):
     """Full-neighbor-matrix variant (reference `graphmodel.py:391-598`):
-    patch_size=4; neighbor block spans ``max_length`` rows (dense
-    adjacency)."""
+    the cfg branch uses patch_size=4 with num_blocks (3, 3)
+    (`graphmodel.py:436-440`; the unused 'base' branch differs); the
+    neighbor block spans ``max_length`` rows (dense adjacency).
+
+    Unlike Sparse, the reference Full.forward does NOT length-pad — it
+    concatenates the xyz and adjacency slices at the input's own length
+    (`graphmodel.py:497-513`), so the caller supplies ``max_length``-ready
+    (or UNet-divisible) inputs.  Matched here."""
     patch_size: int = 4
+    num_blocks: Tuple[int, ...] = (3, 3)
     predict_neighbors: bool = True
 
     def pack_target(self, output: jax.Array) -> jax.Array:
-        xyz = _pad_length(output[..., 1:4], self.max_length)
+        xyz = output[..., 1:4]
         if not self.predict_neighbors:
             return xyz
-        neigh = _pad_length(output[..., 4:4 + self.max_length],
-                            self.max_length)
+        neigh = output[..., 4:4 + self.max_length]
         return jnp.concatenate([xyz, neigh], axis=-1)

@@ -159,3 +159,142 @@ def test_model1d_denoise_matches_torch(reference):
     o = ours.apply(variables, xl, jnp.asarray(sigmas.numpy()),
                    method=Model1d.denoise)
     assert np.allclose(np.transpose(np.asarray(o), (0, 2, 1)), r, atol=3e-5)
+
+
+# ------------------------------------------------- graph-analog goldens ----
+
+def _graph_conditioning_ref(ref, seq):
+    """The reference conditioning head (`graphmodel.py:330-347`), run
+    deterministically outside its loss-drawing forward."""
+    import torch
+    with torch.no_grad():
+        cx = ref.GELUact(ref.fc1(seq.unsqueeze(2)))
+        return torch.cat((cx, ref.p_enc_1d(cx)), 2)
+
+
+def test_graph_sparse_denoise_matches_torch(reference):
+    """AnalogDiffusionSparse: our conditioning + preconditioned denoise
+    match the reference's (`graphmodel.py:225-389`) with imported weights —
+    the graph analogs' equivalent of the flagship per-step parity test."""
+    import torch
+    torch.manual_seed(11)
+    from moleculediffusiontransformer_tpu.models import QMDiffusionBase
+    from moleculediffusiontransformer_tpu.nn import state_dict_to_params
+    ref = reference.graphmodel.AnalogDiffusionSparse(
+        max_length=128, channels=16, pred_dim=3,
+        context_embedding_max_length=12, text_embed_dim=32,
+        embed_dim_position=8).eval()
+    ours = AnalogDiffusionSparse(
+        max_length=128, channels=16, pred_dim=3,
+        context_embedding_max_length=12, text_embed_dim=32,
+        embed_dim_position=8)
+
+    seq = torch.rand(2, 12) * 2 - 1
+    x = torch.randn(2, 3, 128)
+    sig = torch.tensor([0.4, 1.3])
+    cx = _graph_conditioning_ref(ref, seq)
+    with torch.no_grad():
+        r = ref.diffusion.diffusion.denoise_fn(x, sigmas=sig,
+                                               embedding=cx).numpy()
+
+    key = jax.random.PRNGKey(0)
+    seq_j = jnp.asarray(seq.numpy())
+    packed = jnp.zeros((2, 20, 4))
+    shapes = jax.eval_shape(ours.init, key, seq_j, packed, key)
+    variables = {"params": state_dict_to_params(ref.state_dict(),
+                                                shapes["params"])}
+    emb = ours.apply(variables, seq_j,
+                     method=QMDiffusionBase.embed_conditioning)
+    np.testing.assert_allclose(np.asarray(emb), cx.numpy(), atol=2e-5)
+    o = ours.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                   jnp.asarray(sig.numpy()), emb, 1.0,
+                   method=QMDiffusionBase.denoise)
+    np.testing.assert_allclose(np.transpose(np.asarray(o), (0, 2, 1)), r,
+                               atol=3e-5)
+
+
+def _graph_loss_golden(reference, ref, ours, out_t, seq, sigmas_np):
+    """Drive the reference's REAL forward (packing included) with pinned
+    sigmas/noise, and our pack_target + objective.loss with the same."""
+    import torch
+    rng = np.random.RandomState(7)
+    with torch.no_grad():
+        cx = _graph_conditioning_ref(ref, seq)  # only to size the noise
+    del cx
+    # pin the reference's randomness: fixed sigmas, fixed noise
+    ref.diffusion.diffusion.sigma_distribution = (
+        lambda num_samples, device: torch.tensor(sigmas_np))
+    packed_j = jnp.asarray(out_t.numpy().transpose(0, 2, 1))
+    target_j = ours.apply({"params": {}}, packed_j,
+                          method=type(ours).pack_target)
+    noise_np = rng.randn(*[int(d) for d in
+                           np.asarray(target_j).shape]).astype(np.float32)
+    noise_t = torch.tensor(noise_np.transpose(0, 2, 1))
+    orig = torch.randn_like
+    torch.randn_like = lambda t: noise_t
+    try:
+        with torch.no_grad():
+            theirs = float(ref(seq, out_t))
+    finally:
+        torch.randn_like = orig
+
+    key = jax.random.PRNGKey(0)
+    seq_j = jnp.asarray(seq.numpy())
+    shapes = jax.eval_shape(ours.init, key, seq_j, packed_j, key)
+    from moleculediffusiontransformer_tpu.nn import state_dict_to_params
+    variables = {"params": state_dict_to_params(ref.state_dict(),
+                                                shapes["params"])}
+
+    def loss_with(mdl, seq_a, packed_a, sig_a, noise_a):
+        target = mdl.pack_target(packed_a)
+        emb = mdl.embed_conditioning(seq_a)
+        net = lambda xn, t: mdl.unet(xn, t, embedding=emb)
+        return mdl.objective.loss(net, target, sig_a, noise_a)
+
+    got = float(ours.apply(variables, seq_j, packed_j,
+                           jnp.asarray(sigmas_np), jnp.asarray(noise_np),
+                           method=loss_with))
+    assert abs(got - theirs) < 1e-4 * max(1.0, abs(theirs)), (got, theirs)
+
+
+def test_graph_sparse_loss_matches_torch(reference):
+    """End-to-end Sparse LOSS golden through the reference's real forward
+    (incl. its pad_sequence packing, `graphmodel.py:316-349`)."""
+    import torch
+    torch.manual_seed(12)
+    # reference bug: Sparse.forward reads a free global `max_neighbors`
+    # unconditionally (`graphmodel.py:320`) — inject it to run the oracle.
+    if not hasattr(reference.graphmodel, "max_neighbors"):
+        reference.graphmodel.max_neighbors = 12
+    ref = reference.graphmodel.AnalogDiffusionSparse(
+        max_length=128, channels=16, pred_dim=3,
+        context_embedding_max_length=12, text_embed_dim=32,
+        embed_dim_position=8).eval()
+    ours = AnalogDiffusionSparse(
+        max_length=128, channels=16, pred_dim=3,
+        context_embedding_max_length=12, text_embed_dim=32,
+        embed_dim_position=8)
+    out_t = torch.randn(2, 4, 20)          # node-number row + xyz, 20 nodes
+    seq = torch.rand(2, 12) * 2 - 1
+    _graph_loss_golden(reference, ref, ours, out_t, seq,
+                       np.array([0.3, 0.9], np.float32))
+
+
+def test_graph_full_loss_matches_torch(reference):
+    """End-to-end Full LOSS golden: cfg branch num_blocks (3,3)
+    (`graphmodel.py:436-440`) and the NO-length-pad xyz+adjacency packing
+    (`graphmodel.py:497-513`) vs the reference's real forward."""
+    import torch
+    torch.manual_seed(13)
+    ref = reference.graphmodel.AnalogDiffusionFull(
+        max_length=16, channels=16, pred_dim=3 + 16,
+        context_embedding_max_length=12, text_embed_dim=32,
+        embed_dim_position=8).eval()
+    ours = AnalogDiffusionFull(
+        max_length=16, channels=16, pred_dim=3 + 16,
+        context_embedding_max_length=12, text_embed_dim=32,
+        embed_dim_position=8)
+    out_t = torch.randn(2, 4 + 16, 64)     # rows: node#, xyz, 16 adjacency
+    seq = torch.rand(2, 12) * 2 - 1
+    _graph_loss_golden(reference, ref, ours, out_t, seq,
+                       np.array([0.5, 1.1], np.float32))
