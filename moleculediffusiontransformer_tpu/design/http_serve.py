@@ -154,7 +154,11 @@ class _MicroBatcher:
                         batch: list = []
                         total = 0
                         while self._queue and (
-                                total + len(self._queue[0]["rows"])
+                                not batch  # head ALWAYS dispatches, even
+                                # oversized: its device call fails cleanly
+                                # for that one request instead of the
+                                # collection loop spinning forever
+                                or total + len(self._queue[0]["rows"])
                                 <= self.max_rows):
                             it = self._queue.pop(0)
                             total += len(it["rows"])

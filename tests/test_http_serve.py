@@ -588,3 +588,27 @@ def test_predict_dynamic_batching_overflow_splits_rounds(served, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_microbatcher_oversized_submit_fails_cleanly():
+    """A submit larger than max_rows must dispatch alone and relay its
+    fn error to that one request — not wedge the collection loop (the
+    /predict route gates size, but the class must not depend on it)."""
+    import numpy as np
+    from moleculediffusiontransformer_tpu.design.http_serve import (
+        _MicroBatcher)
+
+    def fn(rows):
+        if len(rows) > 4:
+            raise ValueError(f"too many rows: {len(rows)}")
+        return rows * 2
+
+    mb = _MicroBatcher(fn, max_rows=4, window_s=0.05)
+    try:
+        with pytest.raises(ValueError, match="too many rows: 6"):
+            mb.submit(np.ones((6, 3), np.float32))
+        # the batcher must still serve after the failed round
+        out = mb.submit(np.ones((2, 3), np.float32))
+        np.testing.assert_array_equal(out, np.full((2, 3), 2.0))
+    finally:
+        mb.close()
