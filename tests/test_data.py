@@ -323,8 +323,19 @@ def test_preprocess_fuzz_vs_sklearn():
     def check_r2(y_true, rnd):
         y_pred = y_true + np.asarray(
             [rnd.uniform(-1.0, 1.0) for _ in y_true])
-        assert abs(r2_score(y_true, y_pred)
-                   - skm.r2_score(y_true, y_pred)) < 1e-9
+        ours, theirs = r2_score(y_true, y_pred), skm.r2_score(y_true, y_pred)
+        if np.isinf(ours) or np.isinf(theirs):
+            # near-constant y_true drives both to -inf; |(-inf)-(-inf)| is
+            # NaN, so agreement must be checked as exact equality
+            assert ours == theirs
+        else:
+            assert abs(ours - theirs) < 1e-9
+
+    # hypothesis-shrunk regression (round-3 red): y_true ~ [0, 5e-158] makes
+    # ss_tot underflow -> both r2 implementations return -inf and agree
+    _yt = np.array([0.0, 5e-158])
+    _yp = _yt + np.array([0.5, -0.5])
+    assert r2_score(_yt, _yp) == skm.r2_score(_yt, _yp) == -np.inf
 
     check_scaler()
     check_split()
