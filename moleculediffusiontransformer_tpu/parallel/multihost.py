@@ -128,6 +128,39 @@ def shard_batch_global(mesh: Mesh, batch: Any,
     return jax.tree_util.tree_map(put, batch)
 
 
+def place_global(mesh: Mesh, tree: Any, specs: Any) -> Any:
+    """Place host-replicated values onto a (possibly multi-process) mesh
+    with arbitrary per-leaf ``PartitionSpec``s.
+
+    Every process must hold the SAME full host value for each leaf (the
+    same-seed-init convention used throughout the multihost path); each
+    process contributes only its addressable devices' slices, assembled
+    with ``jax.make_array_from_single_device_arrays``.  This is the
+    multi-process generalization of ``shard_state_fsdp``'s ``device_put``
+    placement: it lets FSDP/TP/pp layouts (``fsdp_specs``,
+    ``pp.stack_layer_params`` + ``P('stage')``) span the DCN boundary.
+
+    ``specs`` is a pytree of ``PartitionSpec`` matching ``tree``'s leaves
+    (the form ``fsdp_specs`` returns), or a single spec applied to all.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if isinstance(specs, P):
+        spec_leaves = [specs] * len(leaves)
+    else:
+        spec_leaves = treedef.flatten_up_to(specs)
+
+    def put(x, spec) -> jax.Array:
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, spec)
+        idx_map = sharding.addressable_devices_indices_map(x.shape)
+        arrays = [jax.device_put(x[idx], d) for d, idx in idx_map.items()]
+        return jax.make_array_from_single_device_arrays(
+            x.shape, sharding, arrays)
+
+    return treedef.unflatten([put(x, s)
+                              for x, s in zip(leaves, spec_leaves)])
+
+
 def replicate_global(mesh: Mesh, tree: Any) -> Any:
     """Replicate a host pytree (params, PRNG keys) across a global mesh.
     Every process holds the same host values (e.g. same-seed init); each

@@ -64,12 +64,8 @@ def _single_process_loss() -> float:
         return float(loss)
 
 
-@pytest.mark.slow
-@pytest.mark.parametrize("fused", [False, True])
-def test_two_process_dcn_train_step_matches_single_process(fused):
-    """fused=True additionally pins kernel x sharding composition: the
-    workers run the train step through the Pallas megakernel (interpret
-    mode) and the all-reduced loss must still equal the unfused oracle."""
+def _run_two_process(mode: str, fused: bool = False) -> float:
+    """Launch the 2-process worker pair; return the agreed global loss."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device count
@@ -81,7 +77,7 @@ def test_two_process_dcn_train_step_matches_single_process(fused):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "multihost_worker.py"),
-             str(i), "2", str(port)],
+             str(i), "2", str(port), mode],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env, cwd=REPO)
         for i in range(2)]
@@ -100,8 +96,72 @@ def test_two_process_dcn_train_step_matches_single_process(fused):
     assert set(losses) == {0, 1}
     # both processes see the identical (all-reduced) global loss
     assert losses[0] == losses[1], losses
+    return losses[0]
 
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fused", [False, True])
+def test_two_process_dcn_train_step_matches_single_process(fused):
+    """fused=True additionally pins kernel x sharding composition: the
+    workers run the train step through the Pallas megakernel (interpret
+    mode) and the all-reduced loss must still equal the unfused oracle."""
+    loss = _run_two_process("dp", fused=fused)
     oracle = _single_process_loss()
     # fused interpret kernels agree with the composition to ~1e-6 relative
-    np.testing.assert_allclose(losses[0], oracle,
-                               rtol=1e-5 if fused else 1e-6)
+    np.testing.assert_allclose(loss, oracle, rtol=1e-5 if fused else 1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_dcn_fsdp_step_matches_single_process():
+    """FSDP across the process boundary: params + Adam state sharded over
+    the global 'data' axis, so the step's just-in-time param all-gathers
+    and gradient reduce-scatters cross DCN.  Same model/batch/seed as the
+    dp mode, so the dp oracle is the truth (FSDP == replicated DP up to
+    reduction order, parallel/fsdp.py numerics note)."""
+    loss = _run_two_process("fsdp")
+    np.testing.assert_allclose(loss, _single_process_loss(), rtol=1e-5)
+
+
+def _single_process_pp_loss() -> float:
+    """Oracle: the worker's exact pp setup run SEQUENTIALLY (layer loop on
+    one local device) — pins that the 2-process GPipe schedule with its
+    cross-process ppermute hop changes nothing."""
+    import jax.numpy as jnp
+    from moleculediffusiontransformer_tpu.models import MoleculeTransformer
+    from moleculediffusiontransformer_tpu.parallel.pp import (
+        make_layer_apply, stack_layer_params)
+
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        model = MoleculeTransformer(
+            dim=32, depth=8, logits_dim=6, dim_head=8, heads=4,
+            text_embed_dim=16, max_text_len=12, pos_fourier_graph_dim=8)
+        rng = np.random.RandomState(7)
+        seq = np.linspace(-1, 1, 4 * 12).reshape(4, 12).astype(np.float32)
+        vecs = rng.randn(4, 5, 6).astype(np.float32)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(seq),
+                            jnp.asarray(vecs), cond_drop_prob=0.0)["params"]
+
+        def pre(mdl, sequences, output):
+            cond = mdl.embed_conditioning(sequences)
+            x = mdl.embed_vectors(output)
+            cond, text_mask = mdl._text_mask(cond, None, 0.0, None)
+            return mdl.init_norm(x), cond, text_mask
+
+        x, cond, mask = model.apply({"params": params}, jnp.asarray(seq),
+                                    jnp.asarray(vecs), method=pre)
+        stacked, rest = stack_layer_params(params, model.depth)
+        apply_layer = make_layer_apply(model)
+        for i in range(model.depth):
+            lp = jax.tree_util.tree_map(lambda a: a[i], stacked)
+            x = apply_layer(lp, rest, x, cond, mask)
+        return float(jnp.mean(jnp.square(x)))
+
+
+@pytest.mark.slow
+def test_two_process_dcn_pipeline_matches_sequential():
+    """8 pipeline stages over 2 processes: the stage-3 -> stage-4 activation
+    ppermute rides the process (DCN) boundary every tick; output must equal
+    the sequential layer stack."""
+    loss = _run_two_process("pp")
+    np.testing.assert_allclose(loss, _single_process_pp_loss(), rtol=1e-5)
