@@ -2,70 +2,38 @@
 approximation of RDKit's parse-time chemistry (reference
 `generative.py:954-961` defines validity as 'RDKit parses it').
 
-Corpora were checked against RDKit semantics: every 'valid' entry is a
-molecule RDKit parses (incl. radicals, difluorine, ring-bond symbols on
-either closure side); every 'invalid' entry is one it rejects (grammar,
-over-valence, or kekulization failures).
+Truth corpus: tests/rdkit_corpus.py — every entry annotated with RDKit's
+verdict (grammar, over-valence, kekulization cases).  The checker must
+agree on all of them; the deliberate approximations live in
+KNOWN_DIVERGENT and are pinned individually below.  When RDKit exists in
+the environment, tests/test_rdkit_gated.py re-validates the corpus
+annotations against the real library.
 """
 import pytest
 
 from moleculediffusiontransformer_tpu.design.valence import (
     valence_smiles_valid)
 
-
-VALID = [
-    # plain organic subset
-    "C", "CCO", "C1CC1", "CC(=O)O", "N#C", "CC(N)C=O", "O=C1CC1",
-    "FC(F)(F)C", "CC(C)(C)C", "O=C=O", "C#N", "ClCCl", "BrC(Br)Br",
-    "S(=O)(=O)(O)O", "P(O)(O)O", "N1CC1", "OO", "NN", "FF", "C1=CC1",
-    # aromatics (kekulizable): benzene, naphthalene, pyrrole, pyridine,
-    # furan, thiophene, toluene, phenol, uracil, indole-like fusion
-    "c1ccccc1", "c1ccc2ccccc2c1", "c1cc[nH]c1", "c1ccncc1", "c1ccoc1",
-    "c1ccsc1", "Cc1ccccc1", "c1ccc(cc1)O", "O=c1cc[nH]c(=O)[nH]1",
-    "c1cnc2[nH]ccc2c1",
-    # kekulé spelling + a real drug (caffeine)
-    "C1=CC=CC=C1", "CN1C=NC2=C1C(=O)N(C(=O)N2C)C",
-    # brackets: charges, explicit H, isotopes, radicals, chirality
-    "[NH4+]", "[O-]C(=O)C", "CC[N+](C)(C)C", "[13C]", "[C]", "[CH2]",
-    "C[C@H](N)C(=O)O",
-    # ring-closure bond symbols (either or both sides), fragments, stereo
-    "C=1CC1", "C=1CC=1", "C=2CC2C", "CC.OC", "C/C=C/C",
-]
-
-INVALID = [
-    # grammar
-    "", "1CC", "C((C", "C)C", "C1CC", "CC=", "((", "=C", "11", "C1CC2",
-    "C..C", "C=.C", ".C", "C.", "Xx", "[Zz]", "C%1", "c1ccc cc1", "C11",
-    # valence violations RDKit rejects that grammar alone cannot catch
-    "C(C)(C)(C)(C)C",      # pentavalent carbon
-    "F=F",                 # divalent fluorine
-    "O=O=O",               # tetravalent oxygen
-    "N(C)(C)(C)C",         # tetravalent neutral nitrogen
-    "F(C)C",               # divalent fluorine again
-    "O#C",                 # triple-bonded O (valence 3)
-    "CC(=O)=O",            # carbon with 2 doubles + 2 singles = 6
-    "[CH5]", "[NH4]",      # bracket over-valence (no charge)
-    # kekulization / aromatic-placement failures
-    "cc", "cC", "c1cc1C",  # aromatic atoms outside a proper ring / odd ring
-]
+from rdkit_corpus import KNOWN_DIVERGENT, RDKIT_INVALID, RDKIT_VALID
 
 
-@pytest.mark.parametrize("smi", VALID)
+@pytest.mark.parametrize("smi", RDKIT_VALID)
 def test_accepts_rdkit_valid(smi):
     assert valence_smiles_valid(smi), smi
 
 
-@pytest.mark.parametrize("smi", INVALID)
+@pytest.mark.parametrize("smi", RDKIT_INVALID)
 def test_rejects_rdkit_invalid(smi):
     assert not valence_smiles_valid(smi), smi
 
 
-def test_known_approximation_no_hueckel():
-    """Documented divergence: cyclobutadiene written aromatic kekulizes
-    here (alternating double bonds exist) but RDKit rejects it on the
-    4n+2 electron count.  Pin the approximation so a future Hückel pass
-    flips this test deliberately."""
-    assert valence_smiles_valid("c1ccc1")
+@pytest.mark.parametrize("smi,ours,theirs", KNOWN_DIVERGENT)
+def test_known_divergences_pinned(smi, ours, theirs):
+    """Each deliberate approximation is pinned so a future improvement
+    (Hückel electron count, a metal valence table) flips its row in
+    rdkit_corpus.KNOWN_DIVERGENT deliberately, not silently."""
+    assert ours != theirs, "not a divergence — move to the main corpus"
+    assert valence_smiles_valid(smi) is ours, smi
 
 
 def test_smiles_is_valid_routes_to_valence_checker():
