@@ -28,6 +28,72 @@ PROPERTY_NAMES: Tuple[str, ...] = (
 )
 NUM_PROPERTIES = len(PROPERTY_NAMES)
 
+# the canonical QM9 release: 133,885 molecules (reference README.md:30's
+# Dropbox blob is this set + the 12 property columns above)
+QM9_EXPECTED_ROWS = 133_885
+# sha256 of known-good qm9_.csv blobs.  EMPTY until the blob has been seen
+# once: the reference distributes it via a Dropbox link (README.md:30)
+# that is absent from this snapshot, so no ground-truth hash exists yet.
+# The day it appears, `verify_qm9_csv` prints the computed hash — pin it
+# here and every later run is checksum-verified.
+QM9_KNOWN_SHA256: Tuple[str, ...] = ()
+
+
+def verify_qm9_csv(csv_path: str,
+                   expected_sha256: Optional[str] = None) -> dict:
+    """Structural + checksum verification of a candidate ``qm9_.csv``.
+
+    Always enforced (raises ``ValueError``): the header must contain a
+    SMILES column and all 12 property columns.  Recorded but only warned
+    about (the synthetic stand-in and row-limited slices are legitimate):
+    row count != the canonical 133,885; sha256 not among the known-good
+    hashes.  Pass ``expected_sha256`` (or pin ``QM9_KNOWN_SHA256``) to
+    make the checksum mismatch fatal.
+
+    Returns ``{"sha256", "rows", "header_ok", "row_count_ok",
+    "checksum_ok"}`` — ``tools/reproduce_baseline.py`` stores this in its
+    report so every quality table is traceable to the exact blob.
+    """
+    import csv
+    import hashlib
+
+    h = hashlib.sha256()
+    with open(csv_path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    sha256 = h.hexdigest()
+
+    with open(csv_path, newline="") as f:
+        reader = csv.reader(f)
+        header = next(reader, [])
+        rows = sum(1 for _ in reader)
+
+    missing = [c for c in PROPERTY_NAMES if c not in header]
+    has_smiles = any(c in header
+                     for c in ("smiles", "SMILES", "canonical_smiles"))
+    if missing or not has_smiles:
+        raise ValueError(
+            f"{csv_path} is not a QM9 CSV: missing property columns "
+            f"{missing}" + ("" if has_smiles else " and a SMILES column"))
+
+    known = QM9_KNOWN_SHA256 + ((expected_sha256,) if expected_sha256 else ())
+    checksum_ok = sha256 in known if known else None
+    if expected_sha256 and sha256 != expected_sha256:
+        raise ValueError(
+            f"{csv_path} sha256 {sha256} != expected {expected_sha256}")
+    report = {"sha256": sha256, "rows": rows, "header_ok": True,
+              "row_count_ok": rows == QM9_EXPECTED_ROWS,
+              "checksum_ok": checksum_ok}
+    if not report["row_count_ok"]:
+        print(f"WARNING: {csv_path} has {rows} rows "
+              f"(canonical QM9: {QM9_EXPECTED_ROWS}) — partial or stand-in "
+              "dataset; quality numbers are not BASELINE.md-comparable")
+    if checksum_ok is None:
+        print(f"NOTE: no known-good QM9 hash pinned yet; this blob's "
+              f"sha256 is {sha256} — pin it in "
+              "data/qm9.py::QM9_KNOWN_SHA256 once validated")
+    return report
+
 
 def load_qm9(csv_path: str, smiles_column: str = "smiles",
              max_rows: Optional[int] = None) -> Tuple[List[str], np.ndarray]:

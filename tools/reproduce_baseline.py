@@ -86,16 +86,23 @@ def main():
                    help="architecture scale for --train-epochs (tiny: "
                    "CPU-feasible; notebook: full presets — run on TPU)")
     p.add_argument("--train-batch", type=int, default=128)
+    p.add_argument("--expect-sha256", default=None,
+                   help="make the CSV checksum check fatal against this "
+                   "hash (default: structural checks fatal, hash recorded)")
     args = p.parse_args()
 
     from moleculediffusiontransformer_tpu.core.config import TrainConfig
     from moleculediffusiontransformer_tpu.data.qm9 import (load_qm9,
                                                            prepare_qm9,
-                                                           synthetic_qm9)
+                                                           synthetic_qm9,
+                                                           verify_qm9_csv)
     from moleculediffusiontransformer_tpu.design.inverse_design import (
         rescore_generated)
 
+    verification = None
     if args.csv:
+        verification = verify_qm9_csv(args.csv,
+                                      expected_sha256=args.expect_sha256)
         smiles, props = load_qm9(args.csv, max_rows=args.rows)
         dataset = os.path.abspath(args.csv)
     else:
@@ -108,6 +115,8 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     results = {"dataset": dataset, "checkpoints": {}, "metrics": {}}
+    if verification is not None:
+        results["dataset_verification"] = verification
     if args.train_epochs:
         results["training"] = {"epochs": args.train_epochs,
                                "preset": args.train_preset,
