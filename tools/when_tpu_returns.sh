@@ -29,11 +29,43 @@ step() {  # step <name> <timeout_s> <cmd...>
 }
 
 # 1. Is the tunnel actually back?  (dispatch probe, not just device init)
-step probe 120 python -c "
+# A cold tunnel can take several 60s-deadline attempts before the first
+# dispatch completes (observed 2026-08-19: bench.py recovered on attempt
+# 5) — retry on a backoff loop like bench.py::_require_compute does.
+step probe 600 python -c "
+import sys, time, threading
 import jax, jax.numpy as jnp
-x = jnp.ones((256, 256))
-assert float(jax.jit(jnp.sum)(jax.jit(jnp.matmul)(x, x))) == 256.0**3
-print('tunnel alive:', jax.devices())"
+
+def once(timeout_s=60.0):
+    done, err = threading.Event(), []
+    def f():
+        try:
+            x = jnp.ones((256, 256))
+            assert float(jax.jit(jnp.sum)(jax.jit(jnp.matmul)(x, x))) == 256.0**3
+        except BaseException as e:
+            err.append(e)
+        finally:
+            done.set()
+    threading.Thread(target=f, daemon=True).start()
+    if not done.wait(timeout_s):
+        return False
+    if err:
+        raise err[0]
+    return True
+
+deadline = time.monotonic() + 540
+attempt = 0
+while True:
+    attempt += 1
+    if once():
+        print('tunnel alive (attempt %d):' % attempt, jax.devices())
+        break
+    if time.monotonic() >= deadline:
+        print('tunnel still wedged after %d probes' % attempt, file=sys.stderr)
+        import os; os._exit(124)
+    print('probe attempt %d timed out; retrying in 30s' % attempt, file=sys.stderr)
+    time.sleep(30)
+import os; os._exit(0)  # wedged daemon threads must not hang exit"
 
 # 2. Flash attention: compiled-Mosaic == composition on real hardware.
 step flash_parity 1800 python -m pytest \
