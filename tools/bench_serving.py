@@ -34,10 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 512
-STEPS = 64
+# --smoke: CPU-feasible plumbing check (tiny model/batch/steps) — numbers
+# are meaningless, only the harness is exercised.
+SMOKE = "--smoke" in sys.argv
+BATCH = 8 if SMOKE else 512
+STEPS = 4 if SMOKE else 64
 COND_SCALE = 2.0
-SMALL = 16          # rows per latency-probe request
+SMALL = 2 if SMOKE else 16   # rows per latency-probe request
 
 
 def emit(metric: str, value: float, unit: str, **extra) -> None:
@@ -67,9 +70,18 @@ def build_inverse():
     smiles, props = synthetic_qm9(512, seed=3, chemically_valid=True)
     data = prepare_qm9(smiles, props, mode="inverse_diffusion",
                        max_length=32)
-    model = from_config(QMDiffusion,
-                        cfg.inverse_diffusion_qm9(data.vocab_size),
-                        dtype=jnp.bfloat16)
+    if SMOKE:
+        model = QMDiffusion(
+            max_length=32, channels=16, pred_dim=data.vocab_size,
+            text_embed_dim=16, embed_dim_position=8,
+            context_embedding_max_length=12, multipliers=(1, 2),
+            factors=(2,), num_blocks=(1,), attentions=(1,),
+            attention_heads=2, attention_features=8, pre_transformer=1,
+            patch_size=1)
+    else:
+        model = from_config(QMDiffusion,
+                            cfg.inverse_diffusion_qm9(data.vocab_size),
+                            dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     y = jnp.asarray(data.y_train[:2])
     X = jnp.zeros((2, model.max_length, model.pred_dim))
@@ -181,11 +193,17 @@ def main():
     from moleculediffusiontransformer_tpu.models import (
         MoleculeTransformerSequenceEncoder)
     c = cfg.forward_transformer_qm9()
-    enc = MoleculeTransformerSequenceEncoder(
-        dim=c.dim, depth=c.depth, heads=c.heads, ff_mult=c.ff_mult,
-        logits_dim=c.logits_dim, logits_dim_length=c.logits_dim_length,
-        max_length=c.max_length, max_tokens=c.max_tokens,
-        embed_dim=c.embed_dim)
+    if SMOKE:
+        enc = MoleculeTransformerSequenceEncoder(
+            dim=32, depth=2, heads=2, ff_mult=2, logits_dim=c.logits_dim,
+            logits_dim_length=c.logits_dim_length, max_length=c.max_length,
+            max_tokens=c.max_tokens, embed_dim=8)
+    else:
+        enc = MoleculeTransformerSequenceEncoder(
+            dim=c.dim, depth=c.depth, heads=c.heads, ff_mult=c.ff_mult,
+            logits_dim=c.logits_dim, logits_dim_length=c.logits_dim_length,
+            max_length=c.max_length, max_tokens=c.max_tokens,
+            embed_dim=c.embed_dim)
     ids0 = jnp.zeros((2, c.max_length), jnp.int32)
     enc_vars = jax.jit(enc.init)(jax.random.PRNGKey(0), ids0)
     enc_path = "/tmp/bench_serving_encoder.mdtx"
@@ -208,7 +226,7 @@ def main():
             post(url, {"smiles": smi})
             return time.perf_counter() - t0
 
-        n_clients, n_reqs = 32, 128
+        n_clients, n_reqs = (4, 8) if SMOKE else (32, 128)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(n_clients) as ex:
             lats = list(ex.map(one, range(n_reqs)))
