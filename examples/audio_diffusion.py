@@ -6,7 +6,7 @@ diffusion autoencoder, vocoder, upphaser, and chunked AR diffusion
 Each demo: build on toy shapes, compute the diffusion loss, check it
 differentiates, then run the matching sampler and print shapes.  Tiny
 configs run on CPU in ~2 min; `--full` uses the reference presets
-(2**15-sample waveforms) and wants a TPU — there the L>=512 attention
+(2**15-sample waveforms) and wants a TPU — there the L>=2048 attention
 levels stream through the flash kernels (`ops/flash_attention.py`), and
 the waveform axis can be sharded over a mesh (`parallel/sp.py`,
 docs/SCALING.md).

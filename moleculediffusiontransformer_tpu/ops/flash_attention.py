@@ -40,9 +40,11 @@ import jax.numpy as jnp
 
 _NEG_INF = float("-inf")
 _LANES = 128
-# Minimum length at which streaming beats the VMEM-resident kernel /
-# fused XLA einsum (micro-shapes are dispatch-bound, PERF.md).
-LONG_SEQ_THRESHOLD = 512
+# Minimum length at which streaming beats XLA's one-shot softmax.
+# Hardware-measured (PERF.md flash table): XLA wins at L=512 (53 vs 67 µs
+# fwd, 63 vs 104 µs grad) and L=1024 (84 vs 133, 118 vs 260); flash wins
+# from L=2048 (+20% fwd, +34% grad) and is the only impl standing at 8k+.
+LONG_SEQ_THRESHOLD = 2048
 
 
 def flash_enabled() -> bool:

@@ -119,6 +119,9 @@ def test_mdt_flash_gate_controls_routing(monkeypatch):
         "moleculediffusiontransformer_tpu.ops.flash_attention")
 
     monkeypatch.setattr(fa, "_on_tpu", lambda: True)
+    # Pin the routing *machinery* at a CPU-cheap length; the production
+    # threshold value itself is pinned by test_default_threshold_is_2048.
+    monkeypatch.setattr(fa, "LONG_SEQ_THRESHOLD", 512)
     b, h, n, d = 1, 2, 512, 32
     q, k, v = (x.reshape(b, h, n, d) for x in _qkv(
         jax.random.PRNGKey(8), b * h, n, n, d))
@@ -134,12 +137,40 @@ def test_mdt_flash_gate_controls_routing(monkeypatch):
     assert "pallas_call" in jaxpr_text()
 
 
+def test_default_threshold_is_2048(monkeypatch):
+    """The production auto-route threshold is evidence-based: hardware A/B
+    (PERF.md flash table) has XLA's one-shot softmax winning at L=512 and
+    L=1024 and flash winning from L=2048 — packed_sdpa must NOT route a
+    1024-length call even with flash enabled."""
+    import importlib
+    from moleculediffusiontransformer_tpu.nn import attention as attn_mod
+    fa = importlib.import_module(
+        "moleculediffusiontransformer_tpu.ops.flash_attention")
+
+    assert fa.LONG_SEQ_THRESHOLD == 2048
+    monkeypatch.setattr(fa, "_on_tpu", lambda: True)
+    monkeypatch.setenv("MDT_FLASH", "1")
+    b, h, n, d = 1, 2, 1024, 32
+    q, k, v = (x.reshape(b, h, n, d) for x in _qkv(
+        jax.random.PRNGKey(11), b * h, n, n, d))
+    jaxpr = str(jax.make_jaxpr(
+        lambda q, k, v: attn_mod.packed_sdpa(q, k, v, d ** -0.5,
+                                             jnp.float32))(q, k, v))
+    assert "pallas_call" not in jaxpr
+
+
 def test_flash_module_level_integration(monkeypatch):
     """The FULL Attention module at a long-L audio shape, run through the
     interpret-mode flash route (MDT_FLASH_INTERPRET), must equal the
     composition (MDT_FLASH=0) in outputs AND grads — pins the module's
     head folding / reshapes / custom vjp end-to-end on CPU."""
+    import importlib
+    fa = importlib.import_module(
+        "moleculediffusiontransformer_tpu.ops.flash_attention")
     from moleculediffusiontransformer_tpu.nn.attention import Attention
+
+    # interpret mode is O(L^2)-slow on CPU: exercise the route at 512
+    monkeypatch.setattr(fa, "LONG_SEQ_THRESHOLD", 512)
 
     module = Attention(features=32, head_features=16, num_heads=2)
     x = jax.random.normal(jax.random.PRNGKey(9), (2, 512, 32))
