@@ -453,4 +453,14 @@ def make_httpd(server: ArtifactServer, tokenizer=None, scaler=None,
             finally:
                 ep.metrics.record(self.path, time.perf_counter() - t0, ok)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # http.server's default listen backlog is 5.  Dynamic batching
+        # SYNCHRONIZES clients — one coalesced device call releases every
+        # waiter at once, so all of them reconnect in the same instant —
+        # and a burst beyond the backlog overflows the kernel accept
+        # queue: the dropped half-open connections answer the client's
+        # request bytes with RST (observed as ConnectionResetError under
+        # 32 synchronized /predict clients, tools/bench_serving.py).
+        request_queue_size = 128
+
+    return Server((host, port), Handler)

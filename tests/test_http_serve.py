@@ -490,6 +490,30 @@ def test_concurrent_requests_serialize_on_device(served):
     assert smiles[2] == smiles[3]
 
 
+def test_listen_backlog_survives_synchronized_bursts():
+    """Dynamic batching releases every coalesced waiter at once, so all
+    clients reconnect in the same instant; http.server's default backlog
+    of 5 overflowed under 32 synchronized /predict clients on hardware
+    (kernel drops the half-open connections -> client-side RST,
+    tools/bench_serving.py 2026-08-19). The daemon must configure a
+    backlog that absorbs a full-fleet burst."""
+    from moleculediffusiontransformer_tpu.design.http_serve import make_httpd
+
+    class _Fake:   # make_httpd only touches kind/batch attrs lazily
+        kind = "sampler"
+        batch = 4
+        tokenizer = scaler = None
+        training_smiles = ()
+        specs = ()
+        restored_from = None
+
+    httpd = make_httpd(_Fake(), port=0, quiet=True)
+    try:
+        assert httpd.request_queue_size >= 64
+    finally:
+        httpd.server_close()
+
+
 def _encoder_httpd(served, tmp_path, batch, window_ms):
     """Tiny encoder artifact + daemon with dynamic batching configured."""
     from moleculediffusiontransformer_tpu.models import \

@@ -119,7 +119,7 @@ def main():
             timesteps=STEPS)
 
     inproc(1)  # warmup/compile
-    reps = 3
+    reps = 5
     t0 = time.perf_counter()
     for i in range(reps):
         inproc(2 + i)
@@ -127,28 +127,66 @@ def main():
     inproc_mol_s = BATCH / dt_inproc
     emit("serving_inprocess_generate", inproc_mol_s, "molecules/s")
 
-    # ---- 2. ArtifactServer (AOT artifact + host decode) ------------------
-    art_path = "/tmp/bench_serving_sampler.mdtx"
-    exported = export_sampler(model, variables, batch=BATCH,
-                              num_steps=STEPS, cond_scale=COND_SCALE)
-    save_artifact(exported, art_path, tokenizer=data.tokenizer,
-                  scaler=data.scaler, training_smiles=data.smiles)
-    server = ArtifactServer(art_path)
-    server.variables = variables  # same weights as tier 1
+    # device-only slice of tier 1 (sample + sync, no decode/eval): the
+    # host decode/validity share is dt_inproc - this
+    from moleculediffusiontransformer_tpu.models import sample as _sample
+    y_scaled = jnp.asarray(props_scaled)
 
-    def art_call(seed):
-        out = server.call_padded(props_scaled,
-                                 key=jax.random.PRNGKey(seed))
-        gen = decode_one_hot(out, data.tokenizer)
-        return evaluate_generated(gen, data.smiles)
+    def dev_only(seed):
+        out = _sample(model, variables, y_scaled, jax.random.PRNGKey(seed),
+                      num_steps=STEPS, cond_scale=COND_SCALE)
+        np.asarray(out)  # host transfer, same sync the serving tiers pay
 
-    art_call(1)  # warmup
+    dev_only(1)
     t0 = time.perf_counter()
     for i in range(reps):
-        art_call(2 + i)
-    dt_art = (time.perf_counter() - t0) / reps
-    emit("serving_artifact_server", BATCH / dt_art, "molecules/s",
-         overhead_vs_inprocess=round(dt_art / dt_inproc - 1.0, 4))
+        dev_only(2 + i)
+    dt_dev = (time.perf_counter() - t0) / reps
+    emit("serving_inprocess_device_only", BATCH / dt_dev, "molecules/s",
+         host_decode_ms=round((dt_inproc - dt_dev) * 1e3, 1))
+
+    # ---- 2. ArtifactServer (AOT artifact + host decode) ------------------
+    # Two exports: the portable pure-XLA artifact (cross-Mosaic-version
+    # safe, the default) and the same-fleet fused artifact
+    # (allow_tpu_custom_calls) — the documented TPU production pairing.
+    for fused in (False, True) if not SMOKE else (False,):
+        art_path = f"/tmp/bench_serving_sampler_{int(fused)}.mdtx"
+        exported = export_sampler(model, variables, batch=BATCH,
+                                  num_steps=STEPS, cond_scale=COND_SCALE,
+                                  allow_tpu_custom_calls=fused)
+        save_artifact(exported, art_path, tokenizer=data.tokenizer,
+                      scaler=data.scaler, training_smiles=data.smiles)
+        server = ArtifactServer(art_path)
+        server.variables = variables  # same weights as tier 1
+
+        def prog_only(seed):
+            out = server.call_padded(props_scaled,
+                                     key=jax.random.PRNGKey(seed))
+            return out
+
+        def art_call(seed):
+            out = prog_only(seed)
+            gen = decode_one_hot(out, data.tokenizer)
+            return evaluate_generated(gen, data.smiles)
+
+        art_call(1)  # warmup
+        t0 = time.perf_counter()
+        for i in range(reps):
+            prog_only(2 + i)
+        dt_prog = (time.perf_counter() - t0) / reps
+        t0 = time.perf_counter()
+        for i in range(reps):
+            art_call(2 + i)
+        dt_art = (time.perf_counter() - t0) / reps
+        suffix = "_fused" if fused else ""
+        emit("serving_artifact_server" + suffix, BATCH / dt_art,
+             "molecules/s",
+             overhead_vs_inprocess=round(dt_art / dt_inproc - 1.0, 4),
+             program_only_mol_s=round(BATCH / dt_prog, 1),
+             program_overhead_vs_device=round(dt_prog / dt_dev - 1.0, 4))
+    # tiers 3-5 serve the portable (unfused) artifact
+    server = ArtifactServer("/tmp/bench_serving_sampler_0.mdtx")
+    server.variables = variables
 
     # ---- 3/4. HTTP daemon ------------------------------------------------
     httpd = make_httpd(server, port=0, quiet=True)
