@@ -240,27 +240,34 @@ def cmd_export(args) -> None:
     if args.inpaint and args.task not in ("inverse_diffusion",
                                           "forward_diffusion"):
         raise SystemExit("--inpaint applies to the diffusion tasks only")
+    aot = args.aot_executable
     if args.inpaint:
         exported = dexport.export_inpainter(
             model, variables, batch=args.batch, num_steps=args.timesteps,
-            cond_scale=args.cond_scale, platforms=platforms)
+            cond_scale=args.cond_scale, platforms=platforms,
+            executable=aot)
     elif args.task in ("inverse_diffusion", "forward_diffusion"):
         exported = dexport.export_sampler(
             model, variables, batch=args.batch, num_steps=args.timesteps,
-            cond_scale=args.cond_scale, platforms=platforms)
+            cond_scale=args.cond_scale, platforms=platforms,
+            executable=aot)
     elif args.task == "inverse_transformer":
         exported = dexport.export_generator(
             model, variables, batch=args.batch,
             tokens_to_generate=args.tokens, cond_scale=args.cond_scale,
-            platforms=platforms)
+            platforms=platforms, executable=aot)
     else:
         exported = dexport.export_encoder(
             model, variables, batch=args.batch, max_length=args.max_length,
-            platforms=platforms)
+            platforms=platforms, executable=aot)
+    exec_blob = None
+    if aot:
+        exported, exec_blob = exported
     dexport.save_artifact(exported, args.out, extra={"task": args.task},
-                          **bundle)
+                          executable=exec_blob, **bundle)
     print(f"wrote {args.out} ({os.path.getsize(args.out)/1e6:.2f} MB"
-          f"{', vocab+scaler embedded' if bundle else ''})",
+          f"{', vocab+scaler embedded' if bundle else ''}"
+          f"{', +aot executable' if exec_blob else ''})",
           file=sys.stderr)
     # full knob surface (--fused, --mesh-devices, tree validation):
     # tools/export_serving_artifact.py
@@ -293,8 +300,11 @@ def cmd_inspect(args) -> None:
                                 if "tokenizer" in header else None),
             "scaler": "scaler" in header,
             "novelty_corpus": len(header.get("training_smiles", [])),
+            "executable_mb": (round(len(header["executable"]) / 1e6, 2)
+                              if "executable" in header else None),
             **{k: v for k, v in header.items()
-               if k not in ("tokenizer", "scaler", "training_smiles")},
+               if k not in ("tokenizer", "scaler", "training_smiles",
+                            "executable")},
         },
     })
 
@@ -464,6 +474,11 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--platforms", default="tpu,cpu")
     x.add_argument("--dtype", default="bfloat16",
                    choices=("bfloat16", "float32"))
+    x.add_argument("--aot-executable", action="store_true",
+                   help="bundle the LIVE-compiled executable for THIS "
+                   "host's platform/device-kind/jax-version — same-fleet "
+                   "serving replays live-jit performance exactly; the "
+                   "portable StableHLO tier stays as the fallback")
     x.set_defaults(fn=cmd_export)
 
     ins = sub.add_parser("inspect", help="artifact kind/specs/bundle "

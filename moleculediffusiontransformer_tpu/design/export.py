@@ -39,6 +39,7 @@ from jax import export as jexport
 __all__ = [
     "export_jit", "export_sampler", "export_inpainter", "export_generator",
     "export_encoder", "variables_skeleton",
+    "compile_jit_executable", "load_executable",
     "save_artifact", "load_artifact", "load_bundle",
     "serialize", "deserialize",
 ]
@@ -80,6 +81,78 @@ def export_jit(fn: Callable, *arg_specs: Any,
     return jexport.export(jax.jit(fn), **kwargs)(*specs)
 
 
+def compile_jit_executable(fn: Callable, *arg_specs: Any) -> bytes:
+    """AOT-compile ``jit(fn)`` at ``arg_specs`` on THIS process's backend
+    and serialize the **compiled executable** (``jax.experimental
+    .serialize_executable``) — the fast-path serving tier.
+
+    The StableHLO artifact is portable but measurably slower once
+    re-compiled by the serving host: ``jax.export`` must decompose
+    backend-lowered ops (chlo.erf/erfc/erf_inv & co) into portable
+    polynomial StableHLO, and the re-compiled program loses the live
+    trace's fusions (tools/diag_export_overhead.py: 256 vs 383 mol/s at
+    the bench geometry, identical across eager/jit/roundtrip dispatch).
+    The serialized executable IS the live-compiled program — same bytes
+    XLA produced for the live ``jit`` — so serving replays live
+    performance exactly.  The cost is portability: it only loads on the
+    same platform/device-kind/jax-version fleet, which ``load_executable``
+    enforces; ``ArtifactServer`` falls back to the StableHLO tier when
+    loading fails (mixed fleets stay served, just slower).
+    """
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    specs = tuple(_spec_tree(a) for a in arg_specs)
+    compiled = jax.jit(fn).lower(*specs).compile()
+    payload, in_tree, out_tree = se.serialize(compiled)
+    dev = jax.devices()[0]
+    return pickle.dumps({
+        "payload": payload, "in_tree": in_tree, "out_tree": out_tree,
+        "platform": dev.platform, "device_kind": dev.device_kind,
+        "jax_version": jax.__version__,
+        # deserialize_and_load defaults execution_devices to ALL local
+        # devices; pin the count the program was actually built for
+        "num_devices": len(
+            compiled._executable.xla_executable.local_devices()),
+    })
+
+
+def load_executable(blob: bytes) -> Callable:
+    """Load a ``compile_jit_executable`` blob into a callable.  Raises
+    ``RuntimeError`` when the blob was compiled for a different
+    platform/device-kind/jax-version than this process (callers fall
+    back to the portable StableHLO tier)."""
+    import pickle
+
+    from jax.experimental import serialize_executable as se
+
+    import os
+
+    d = pickle.loads(blob)
+    dev = jax.devices()[0]
+    want = (d["platform"], d["device_kind"], d["jax_version"])
+    have = (dev.platform, dev.device_kind, jax.__version__)
+    if want != have:
+        raise RuntimeError(f"executable compiled for {want}, host is {have}")
+    if d["platform"] == "cpu" and not os.environ.get("MDT_EXEC_TIER_CPU"):
+        # XLA:CPU AOT deserialization pins compile-host machine features
+        # and drops fusions the loader can't rebuild (observed:
+        # "Buffer Definition Event: Function ... not found") — the tier
+        # targets TPU fleets.  MDT_EXEC_TIER_CPU=1 opts in for experiments.
+        raise RuntimeError("executable tier disabled on CPU hosts "
+                           "(XLA:CPU AOT loading is unreliable; "
+                           "set MDT_EXEC_TIER_CPU=1 to override)")
+    n = d.get("num_devices", 1)
+    devices = jax.devices()[:n]
+    if len(devices) < n:
+        raise RuntimeError(f"executable needs {n} devices, host has "
+                           f"{len(devices)}")
+    return se.deserialize_and_load(d["payload"], d["in_tree"],
+                                   d["out_tree"],
+                                   execution_devices=devices)
+
+
 def _key_spec(sharding=None) -> jax.ShapeDtypeStruct:
     if sharding is None:
         return jax.ShapeDtypeStruct((2,), jnp.uint32)
@@ -93,8 +166,8 @@ def export_sampler(model, variables, *, batch: int,
                    num_conditioning: Optional[int] = None,
                    platforms: Optional[Sequence[str]] = None,
                    allow_tpu_custom_calls: bool = False,
-                   mesh=None, axis_name: str = "data"
-                   ) -> jexport.Exported:
+                   mesh=None, axis_name: str = "data",
+                   executable: bool = False):
     """Export the full CFG sampling program for ``model``.
 
     The artifact's calling convention is
@@ -114,6 +187,11 @@ def export_sampler(model, variables, *, batch: int,
     and the device count; the serving fleet calls it under a same-shape
     mesh (``jax.set_mesh`` or sharded input arrays) and XLA partitions
     the whole scan across its chips.  ``batch`` must divide the mesh.
+
+    ``executable=True``: additionally AOT-compile the LIVE program on
+    this process's backend and return ``(exported, executable_blob)`` —
+    the fleet-specific fast tier (see ``compile_jit_executable``); pass
+    the blob to ``save_artifact(..., executable=...)``.
     """
     from ..models.qm_diffusion import sample
     from ..ops import transformer_fusion
@@ -135,9 +213,12 @@ def export_sampler(model, variables, *, batch: int,
         repl, batched = _mesh_shardings(mesh, axis_name)
     cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32,
                                 sharding=batched)
-    return export_jit(fn, _spec_tree(variables, repl), cond,
-                      _key_spec(repl), platforms=platforms,
-                      allow_tpu_custom_calls=allow_tpu_custom_calls)
+    specs = (_spec_tree(variables, repl), cond, _key_spec(repl))
+    exported = export_jit(fn, *specs, platforms=platforms,
+                          allow_tpu_custom_calls=allow_tpu_custom_calls)
+    if executable:
+        return exported, compile_jit_executable(fn, *specs)
+    return exported
 
 
 def export_inpainter(model, variables, *, batch: int,
@@ -146,8 +227,8 @@ def export_inpainter(model, variables, *, batch: int,
                      sigma_max: float = 9.0, rho: float = 3.0,
                      num_conditioning: Optional[int] = None,
                      platforms: Optional[Sequence[str]] = None,
-                     allow_tpu_custom_calls: bool = False
-                     ) -> jexport.Exported:
+                     allow_tpu_custom_calls: bool = False,
+                     executable: bool = False):
     """Export the RePaint inpainting program (reference
     `generative.py:871-914`): ``call(variables, sequences, source, mask,
     key)`` with ``source`` (b, L, pred_dim) float32 and ``mask`` the
@@ -169,17 +250,20 @@ def export_inpainter(model, variables, *, batch: int,
     cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32)
     source = jax.ShapeDtypeStruct(shape, jnp.float32)
     mask = jax.ShapeDtypeStruct(shape, jnp.bool_)
-    return export_jit(fn, variables, cond, source, mask, _key_spec(),
-                      platforms=platforms,
-                      allow_tpu_custom_calls=allow_tpu_custom_calls)
+    specs = (variables, cond, source, mask, _key_spec())
+    exported = export_jit(fn, *specs, platforms=platforms,
+                          allow_tpu_custom_calls=allow_tpu_custom_calls)
+    if executable:
+        return exported, compile_jit_executable(fn, *specs)
+    return exported
 
 
 def export_generator(model, variables, *, batch: int, start_len: int = 1,
                      tokens_to_generate: int = 63, cond_scale: float = 1.5,
                      temperature: float = 1.0, filter_thres: float = 0.9,
                      num_conditioning: Optional[int] = None,
-                     platforms: Optional[Sequence[str]] = None
-                     ) -> jexport.Exported:
+                     platforms: Optional[Sequence[str]] = None,
+                     executable: bool = False):
     """Export the KV-cached autoregressive CFG generation program for a
     Sequence-family transformer (reference `transformer.py:786-838`
     semantics; one jitted scan): ``call(variables, sequences, start_ids,
@@ -200,13 +284,16 @@ def export_generator(model, variables, *, batch: int, start_len: int = 1,
               else num_conditioning)
     cond = jax.ShapeDtypeStruct((batch, n_cond), jnp.float32)
     start = jax.ShapeDtypeStruct((batch, start_len), jnp.int32)
-    return export_jit(fn, variables, cond, start, _key_spec(),
-                      platforms=platforms)
+    specs = (variables, cond, start, _key_spec())
+    exported = export_jit(fn, *specs, platforms=platforms)
+    if executable:
+        return exported, compile_jit_executable(fn, *specs)
+    return exported
 
 
 def export_encoder(model, variables, *, batch: int, max_length: int = 64,
-                   platforms: Optional[Sequence[str]] = None
-                   ) -> jexport.Exported:
+                   platforms: Optional[Sequence[str]] = None,
+                   executable: bool = False):
     """Export the forward property-regression program
     (``MoleculeTransformerSequenceEncoder`` — the single deterministic
     forward pass of reference `generative.py:1864-1913`):
@@ -225,7 +312,10 @@ def export_encoder(model, variables, *, batch: int, max_length: int = 64,
         return model.apply(variables, ids)
 
     ids = jax.ShapeDtypeStruct((batch, max_length), jnp.int32)
-    return export_jit(fn, variables, ids, platforms=platforms)
+    exported = export_jit(fn, variables, ids, platforms=platforms)
+    if executable:
+        return exported, compile_jit_executable(fn, variables, ids)
+    return exported
 
 
 def variables_skeleton(exported: jexport.Exported) -> Any:
@@ -264,11 +354,16 @@ _MAGIC = b"MDTX1\0"
 def save_artifact(exported: jexport.Exported, path: str, *,
                   tokenizer=None, scaler=None,
                   training_smiles: Optional[Sequence[str]] = None,
+                  executable: Optional[bytes] = None,
                   extra: Optional[dict] = None) -> None:
     """Write a serving bundle.  ``tokenizer`` (``CharTokenizer``) and
     ``scaler`` (``MinMaxScaler``) are embedded via their ``state_dict``;
     ``training_smiles`` (novelty reference set) and ``extra`` (free-form
-    JSON metadata) are optional."""
+    JSON metadata) are optional.  ``executable``: a
+    ``compile_jit_executable`` blob — the fleet-specific fast tier
+    (``export_*(..., executable=True)``); the portable StableHLO stays
+    in the bundle as the fallback, so one .mdtx serves both same-fleet
+    hosts (at live speed) and foreign hosts (portably)."""
     import json
     header = dict(extra or {})
     if tokenizer is not None:
@@ -277,15 +372,25 @@ def save_artifact(exported: jexport.Exported, path: str, *,
         header["scaler"] = scaler.state_dict()
     if training_smiles is not None:
         header["training_smiles"] = list(training_smiles)
+    export_bytes = serialize(exported)
+    if executable is not None:
+        # export_len delimits the StableHLO section; the executable rides
+        # after it.  Readers without the field treat the whole body as
+        # StableHLO, so exec-less bundles stay byte-compatible.
+        header["export_len"] = len(export_bytes)
     with open(path, "wb") as f:
         if header:
             blob = json.dumps(header).encode()
             f.write(_MAGIC + len(blob).to_bytes(8, "big") + blob)
-        f.write(serialize(exported))
+        f.write(export_bytes)
+        if executable is not None:
+            f.write(executable)
 
 
 def load_bundle(path: str) -> Tuple[jexport.Exported, dict]:
-    """Load a serving artifact plus its (possibly empty) bundle header."""
+    """Load a serving artifact plus its (possibly empty) bundle header.
+    When the bundle carries an executable tier, the raw blob is surfaced
+    as ``header["executable"]`` (bytes — load via ``load_executable``)."""
     import json
     with open(path, "rb") as f:
         data = f.read()
@@ -295,6 +400,10 @@ def load_bundle(path: str) -> Tuple[jexport.Exported, dict]:
         body_at = len(_MAGIC) + 8 + n
         header = json.loads(data[len(_MAGIC) + 8:body_at])
         data = data[body_at:]
+    export_len = header.pop("export_len", None)
+    if export_len is not None:
+        header["executable"] = data[export_len:]
+        data = data[:export_len]
     return deserialize(data), header
 
 

@@ -212,7 +212,12 @@ class _Endpoints:
         return {"status": "ok", "kind": self.server.kind,
                 "batch": self.server.batch,
                 "restored_from": self.server.restored_from
-                or "placeholder params"}
+                or "placeholder params",
+                # which serving tier answers: the bundled live-compiled
+                # executable (same fleet) or the portable StableHLO
+                "tier": ("executable" if self.server._exec is not None
+                         else "stablehlo"),
+                "exec_error": self.server.exec_error}
 
     def specs(self) -> dict:
         return {"kind": self.server.kind,

@@ -55,12 +55,27 @@ _INTERPRET = False       # run kernels in interpreter mode (CPU tests)
 _ABLATE: set = set()     # profiling knob: {"attn", "gn", "ff", "cross"}
 
 
+def _set_trace_flag(name: str, value) -> None:
+    """Assign a trace-time flag and, when it CHANGES, drop every cached
+    jit trace (``jax.clear_caches``).  Without this, module-level jitted
+    entry points (``models.qm_diffusion.sample`` & co) keep serving the
+    trace they recorded under the OLD flag — inner-jit caches key on
+    avals + static args, not on these globals, so ``fused(False)`` after
+    a fused trace at the same geometry silently returned the fused
+    program (observed: an ``export_sampler(allow_tpu_custom_calls=False)``
+    artifact containing tpu_custom_call).  Clearing is coarse but
+    correct; toggles are rare (exports, A/B benches)."""
+    if globals()[name] != value:
+        globals()[name] = value
+        jax.clear_caches()
+
+
 def enable_fusion(on: bool = True) -> None:
-    """Globally force the fused Transformer1d path on/off (trace-time flag:
-    models must be re-jitted after flipping).  The un-forced default is
-    auto: on iff the default backend is TPU (env ``MDT_FUSION`` overrides)."""
-    global _ENABLED
-    _ENABLED = on
+    """Globally force the fused Transformer1d path on/off.  Takes effect
+    immediately — stale jit traces are invalidated (see
+    ``_set_trace_flag``).  The un-forced default is auto: on iff the
+    default backend is TPU (env ``MDT_FUSION`` overrides)."""
+    _set_trace_flag("_ENABLED", on)
 
 
 def _auto_default() -> bool:
@@ -104,13 +119,12 @@ def fusion_enabled() -> bool:
 
 @contextlib.contextmanager
 def fused(on: bool = True):
-    global _ENABLED
     prev = _ENABLED
-    _ENABLED = on
+    _set_trace_flag("_ENABLED", on)
     try:
         yield
     finally:
-        _ENABLED = prev
+        _set_trace_flag("_ENABLED", prev)
 
 
 # The batched-CFG path (nn/unet.py::cfg_forward) doubles the batch as
@@ -133,8 +147,7 @@ _SHAREDKV: Optional[bool] = None    # None = env MDT_CFG_SHAREDKV (default 0)
 
 
 def enable_sharedkv(on: bool = True) -> None:
-    global _SHAREDKV
-    _SHAREDKV = on
+    _set_trace_flag("_SHAREDKV", on)
 
 
 def _sharedkv_opt_in() -> bool:
@@ -680,21 +693,19 @@ _FUSED_BWD = True
 
 def enable_fused_backward(on: bool = True) -> None:
     """Select the Pallas backward chain (default) vs the legacy
-    rematerializing XLA backward for ``transformer1d_fused`` (trace-time
-    flag: re-jit after flipping)."""
-    global _FUSED_BWD
-    _FUSED_BWD = on
+    rematerializing XLA backward for ``transformer1d_fused``.  Takes
+    effect immediately (stale traces invalidated — ``_set_trace_flag``)."""
+    _set_trace_flag("_FUSED_BWD", on)
 
 
 @contextlib.contextmanager
 def fused_backward(on: bool = True):
-    global _FUSED_BWD
     prev = _FUSED_BWD
-    _FUSED_BWD = on
+    _set_trace_flag("_FUSED_BWD", on)
     try:
         yield
     finally:
-        _FUSED_BWD = prev
+        _set_trace_flag("_FUSED_BWD", prev)
 
 
 def _dot_nt(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -325,3 +325,80 @@ def test_artifact_bundle_roundtrip_and_backcompat(tiny_sampler, tmp_path):
         np.testing.assert_array_equal(np.asarray(c), np.asarray(a))
         s2 = ArtifactServer(raw)
         assert s2.tokenizer is None and s2.scaler is None
+
+
+def test_executable_tier_bundle_plumbing(tiny_sampler, tmp_path):
+    """export_sampler(executable=True) -> save_artifact(executable=...)
+    must roundtrip the blob byte-exactly through the .mdtx envelope; on a
+    CPU host the server declines the blob (XLA:CPU AOT loading is
+    unreliable — tier targets TPU fleets, hardware validation in
+    tools/bench_serving.py) and serves through the StableHLO tier."""
+    from moleculediffusiontransformer_tpu.design.serve import ArtifactServer
+
+    model, variables = tiny_sampler
+    with jax.default_device(CPU):
+        exported, blob = dexport.export_sampler(
+            model, variables, batch=4, num_steps=8, cond_scale=2.0,
+            platforms=("cpu",), executable=True)
+        assert isinstance(blob, bytes) and len(blob) > 0
+        path = str(tmp_path / "exec.mdtx")
+        dexport.save_artifact(exported, path, executable=blob,
+                              extra={"note": "exec-tier"})
+
+        art, header = dexport.load_bundle(path)
+        assert header.pop("executable") == blob
+        assert header.get("note") == "exec-tier"
+
+        srv = ArtifactServer(path)
+        assert srv._exec is None and "CPU" in srv.exec_error
+        assert srv.meta.get("note") == "exec-tier"
+        srv.variables = jax.device_put(variables)
+
+        key = jax.random.PRNGKey(7)
+        props = jax.random.uniform(key, (4, 12), minval=-1.0, maxval=1.0)
+        live = sample(model, variables, props, key, num_steps=8,
+                      cond_scale=2.0)
+        served = srv.call(props, key)  # StableHLO tier
+        np.testing.assert_allclose(np.asarray(served), np.asarray(live),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_executable_tier_tiny_roundtrip_cpu_optin(monkeypatch):
+    """The serialize -> load_executable mechanism itself, on a program
+    small enough for XLA:CPU AOT loading (MDT_EXEC_TIER_CPU opt-in)."""
+    monkeypatch.setenv("MDT_EXEC_TIER_CPU", "1")
+    with jax.default_device(CPU):
+        blob = dexport.compile_jit_executable(
+            lambda v, x: v["w"] * x + 1.0,
+            {"w": jax.ShapeDtypeStruct((4,), jnp.float32)},
+            jax.ShapeDtypeStruct((4,), jnp.float32))
+        fn = dexport.load_executable(blob)
+        out = fn({"w": jnp.arange(4.0)}, jnp.ones((4,)))
+        np.testing.assert_allclose(np.asarray(out), [1.0, 2.0, 3.0, 4.0])
+
+
+def test_executable_tier_mismatch_falls_back(tiny_sampler, tmp_path):
+    """A blob stamped for a foreign platform must not load — the server
+    records the error and serves through the StableHLO tier."""
+    import pickle
+
+    from moleculediffusiontransformer_tpu.design.serve import ArtifactServer
+
+    model, variables = tiny_sampler
+    with jax.default_device(CPU):
+        exported, blob = dexport.export_sampler(
+            model, variables, batch=2, num_steps=4, cond_scale=2.0,
+            platforms=("cpu",), executable=True)
+        d = pickle.loads(blob)
+        d["device_kind"] = "TPU v999"
+        path = str(tmp_path / "foreign.mdtx")
+        dexport.save_artifact(exported, path, executable=pickle.dumps(d))
+
+        srv = ArtifactServer(path)
+        assert srv._exec is None
+        assert "TPU v999" in srv.exec_error
+        srv.variables = jax.device_put(variables)
+        key = jax.random.PRNGKey(5)
+        props = jax.random.uniform(key, (2, 12), minval=-1.0, maxval=1.0)
+        out = srv.call(props, key)  # StableHLO tier serves
+        assert np.asarray(out).shape == (2, model.max_length, model.pred_dim)

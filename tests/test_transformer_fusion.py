@@ -654,3 +654,49 @@ def test_fused_random_config_sweep_matches_module():
                     np.testing.assert_allclose(
                         np.asarray(a), np.asarray(b), rtol=1e-4,
                         atol=1e-5)
+
+
+def test_trace_flags_invalidate_stale_inner_jit_traces():
+    """Toggling a trace-time flag must invalidate already-cached jit
+    traces: module-level jitted entry points (``qm_diffusion.sample``)
+    key their inner cache on avals + static args, NOT on these globals,
+    so before the fix the first trace at a geometry decided the mode for
+    the whole process (an ``export_sampler(allow_tpu_custom_calls=False)``
+    artifact even captured tpu_custom_call this way)."""
+
+    @jax.jit
+    def probe(x):
+        return x + (1.0 if tf.fusion_enabled() else 0.0)
+
+    with tf.fused(True):
+        hot = float(probe(1.0))
+        with tf.fused(False):   # same avals — must NOT reuse the trace
+            cold = float(probe(1.0))
+        assert float(probe(1.0)) == hot  # restored on context exit
+    assert (hot, cold) == (2.0, 1.0)
+
+    @jax.jit
+    def probe_bwd(x):
+        return x + (1.0 if tf._FUSED_BWD else 0.0)
+
+    prev = tf._FUSED_BWD
+    try:
+        tf.enable_fused_backward(True)
+        assert float(probe_bwd(1.0)) == 2.0
+        tf.enable_fused_backward(False)
+        assert float(probe_bwd(1.0)) == 1.0
+    finally:
+        tf.enable_fused_backward(prev)
+
+    @jax.jit
+    def probe_kv(x):
+        return x + (1.0 if tf._sharedkv_opt_in() else 0.0)
+
+    prev = tf._SHAREDKV
+    try:
+        tf.enable_sharedkv(True)
+        assert float(probe_kv(1.0)) == 2.0
+        tf.enable_sharedkv(False)
+        assert float(probe_kv(1.0)) == 1.0
+    finally:
+        tf._set_trace_flag("_SHAREDKV", prev)

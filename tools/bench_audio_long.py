@@ -89,8 +89,10 @@ def run_cell(length: int, impl: str, iters: int, reps: int, batch: int):
     for line in proc.stdout.splitlines():
         if line.startswith("{"):
             return json.loads(line)
-    return {"length": length, "impl": impl, "error":
-            (proc.stderr.strip().splitlines() or ["no output"])[-1][:300]}
+    # last stderr line is often JAX's traceback-filtering notice; report
+    # the tail so the actual exception text survives
+    tail = "\n".join(proc.stderr.strip().splitlines()[-8:]) or "no output"
+    return {"length": length, "impl": impl, "error": tail[:1200]}
 
 
 def main():

@@ -151,11 +151,13 @@ def main():
     # (allow_tpu_custom_calls) — the documented TPU production pairing.
     for fused in (False, True) if not SMOKE else (False,):
         art_path = f"/tmp/bench_serving_sampler_{int(fused)}.mdtx"
-        exported = export_sampler(model, variables, batch=BATCH,
-                                  num_steps=STEPS, cond_scale=COND_SCALE,
-                                  allow_tpu_custom_calls=fused)
+        exported, exec_blob = export_sampler(
+            model, variables, batch=BATCH, num_steps=STEPS,
+            cond_scale=COND_SCALE, allow_tpu_custom_calls=fused,
+            executable=True)
         save_artifact(exported, art_path, tokenizer=data.tokenizer,
-                      scaler=data.scaler, training_smiles=data.smiles)
+                      scaler=data.scaler, training_smiles=data.smiles,
+                      executable=exec_blob)
         server = ArtifactServer(art_path)
         server.variables = variables  # same weights as tier 1
 
@@ -169,23 +171,36 @@ def main():
             gen = decode_one_hot(out, data.tokenizer)
             return evaluate_generated(gen, data.smiles)
 
-        art_call(1)  # warmup
-        t0 = time.perf_counter()
-        for i in range(reps):
-            prog_only(2 + i)
-        dt_prog = (time.perf_counter() - t0) / reps
-        t0 = time.perf_counter()
-        for i in range(reps):
-            art_call(2 + i)
-        dt_art = (time.perf_counter() - t0) / reps
-        suffix = "_fused" if fused else ""
-        emit("serving_artifact_server" + suffix, BATCH / dt_art,
-             "molecules/s",
-             overhead_vs_inprocess=round(dt_art / dt_inproc - 1.0, 4),
-             program_only_mol_s=round(BATCH / dt_prog, 1),
-             program_overhead_vs_device=round(dt_prog / dt_dev - 1.0, 4))
-    # tiers 3-5 serve the portable (unfused) artifact
-    server = ArtifactServer("/tmp/bench_serving_sampler_0.mdtx")
+        def time_tiers(suffix):
+            art_call(1)  # warmup
+            t0 = time.perf_counter()
+            for i in range(reps):
+                prog_only(2 + i)
+            dt_prog = (time.perf_counter() - t0) / reps
+            t0 = time.perf_counter()
+            for i in range(reps):
+                art_call(2 + i)
+            dt_art = (time.perf_counter() - t0) / reps
+            emit("serving_artifact_server" + suffix, BATCH / dt_art,
+                 "molecules/s",
+                 overhead_vs_inprocess=round(dt_art / dt_inproc - 1.0, 4),
+                 program_only_mol_s=round(BATCH / dt_prog, 1),
+                 program_overhead_vs_device=round(dt_prog / dt_dev - 1.0, 4))
+
+        # executable tier (the bundled live-compiled program)
+        exec_fn, server._exec = server._exec, None
+        if exec_fn is None:
+            emit("serving_artifact_exec_load_failed", 0, "error",
+                 detail=str(server.exec_error)[:200], fused=fused)
+        # portable StableHLO tier (metric names match earlier rounds)
+        time_tiers("_fused" if fused else "")
+        if exec_fn is not None:
+            server._exec = exec_fn
+            time_tiers("_exec_fused" if fused else "_exec")
+    # tiers 3-4 serve the production TPU pairing (fused artifact + exec
+    # tier) when available — SMOKE has only the portable artifact
+    art = f"/tmp/bench_serving_sampler_{0 if SMOKE else 1}.mdtx"
+    server = ArtifactServer(art)
     server.variables = variables
 
     # ---- 3/4. HTTP daemon ------------------------------------------------

@@ -83,6 +83,12 @@ def main():
                    choices=["bfloat16", "float32"])
     p.add_argument("--fused", action="store_true",
                    help="export the Pallas megakernel path (TPU-only)")
+    p.add_argument("--aot-executable", action="store_true",
+                   help="additionally bundle the LIVE-compiled executable "
+                   "for THIS host's platform/device-kind/jax-version — "
+                   "same-fleet serving replays live-jit performance "
+                   "exactly (the portable StableHLO tier re-compiles "
+                   "~50%% slower; it stays in the bundle as the fallback)")
     p.add_argument("--embed-vocab", action="store_true",
                    help="embed the dataset's tokenizer/scaler/novelty "
                    "corpus (self-contained serving bundle)")
@@ -158,11 +164,15 @@ def main():
         mesh = make_mesh(args.mesh_devices, backend="cpu")
 
     platforms = tuple(args.platforms.split(","))
+    aot = args.aot_executable
+    if aot and mesh is not None:
+        p.error("--aot-executable is single-host (the executable pins the "
+                "exporting process's device layout); drop --mesh-devices")
     if args.model in ("inverse_diffusion", "forward_diffusion"):
         exported = dexport.export_sampler(
             model, variables, batch=args.batch, num_steps=args.steps,
             cond_scale=args.cond_scale, platforms=platforms,
-            allow_tpu_custom_calls=args.fused, mesh=mesh)
+            allow_tpu_custom_calls=args.fused, mesh=mesh, executable=aot)
         detail = f"steps={args.steps}"
     elif args.model == "inverse_transformer":
         if mesh is not None or args.fused:
@@ -171,7 +181,7 @@ def main():
         exported = dexport.export_generator(
             model, variables, batch=args.batch,
             tokens_to_generate=args.tokens, cond_scale=args.cond_scale,
-            platforms=platforms)
+            platforms=platforms, executable=aot)
         detail = f"tokens={args.tokens}"
     else:                                           # forward_transformer
         if mesh is not None or args.fused:
@@ -179,9 +189,13 @@ def main():
                     "samplers only")
         exported = dexport.export_encoder(
             model, variables, batch=args.batch, max_length=args.max_length,
-            platforms=platforms)
+            platforms=platforms, executable=aot)
         detail = f"max_length={args.max_length}"
-    dexport.save_artifact(exported, args.output,
+    exec_blob = None
+    if aot:
+        exported, exec_blob = exported
+        detail += " +aot-executable"
+    dexport.save_artifact(exported, args.output, executable=exec_blob,
                           extra={"task": args.model}, **bundle)
     size = os.path.getsize(args.output)
     print(f"wrote {args.output} ({size/1e6:.2f} MB): "
