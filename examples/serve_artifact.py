@@ -19,6 +19,12 @@ Supported artifacts (see `design/export.py`):
   # build (once, anywhere):
   python tools/export_serving_artifact.py sampler.mdtx \
       --model inverse_diffusion --batch 64 --steps 64
+  # same-fleet production build: bundle the live-compiled executable
+  # (serves at exactly live-jit speed; StableHLO stays as fallback)
+  # and bake the Pallas megakernel into the StableHLO tier too:
+  python tools/export_serving_artifact.py sampler.mdtx \
+      --model inverse_diffusion --batch 512 --steps 64 \
+      --fused --aot-executable
   # serve (tiny smoke with synthetic data + random params):
   python examples/serve_artifact.py sampler.mdtx \
       [--checkpoint ckpts/step_100.msgpack] [--csv qm9_.csv]
