@@ -1262,6 +1262,20 @@ def fusable(x: jax.Array, context: Optional[jax.Array],
     """Static shape/feature gate for the fused path."""
     if use_rel_pos:
         return False
+    if x.shape[1] > 512:
+        # The megakernel is the SHORT-sequence stack design (weights
+        # VMEM-resident, block-diagonal packed attention — molecule
+        # geometry, L<=64; audio low-res levels, L<=256).  At long L it
+        # has no measured upside (L=1024 inside the 2**13 audio graph:
+        # fused 3.060 vs XLA 3.095 ms/step — neutral) and a real
+        # downside: inside the 2**15 audio graph, XLA's VMEM stack
+        # allocator fails to co-allocate the kernel's block with the
+        # surrounding long-L conv activations ("Ran out of memory in
+        # memory space vmem while allocating on stack") even though the
+        # kernel compiles fine in isolation.  Long sequences take the
+        # XLA composition, whose attention auto-routes to the blockwise
+        # flash kernels at L>=2048 (nn/attention.py::packed_sdpa).
+        return False
     if dtype is not None and x.dtype != dtype:
         # the kernel computes in x.dtype and the custom-vjp backward
         # rebuilds the slow module with dtype=x.dtype; a module configured

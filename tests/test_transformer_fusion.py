@@ -186,6 +186,11 @@ def test_fusable_gate():
     # context presence must match the config (slow path asserts/ignores)
     assert not tf.fusable(x, None, use_rel_pos=False, context_features=64)
     assert not tf.fusable(x, ctx, use_rel_pos=False, context_features=None)
+    # long sequences take the XLA composition + flash attention: at
+    # L=1024 the kernel measured neutral end-to-end and at 2**15 audio
+    # scale it breaks XLA's whole-graph VMEM stack allocation
+    assert tf.fusable(jnp.zeros((2, 512, 64)), None, False, None)
+    assert not tf.fusable(jnp.zeros((2, 1024, 64)), None, False, None)
 
 
 def test_vmem_budget_planning():

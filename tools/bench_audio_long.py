@@ -29,6 +29,7 @@ import json, os, sys, time
 length, impl, iters, reps, batch = (int(sys.argv[1]), sys.argv[2],
                                     int(sys.argv[3]), int(sys.argv[4]),
                                     int(sys.argv[5]))
+remat = len(sys.argv) > 6 and sys.argv[6] == "remat"
 os.environ["MDT_FLASH"] = "1" if impl == "flash" else "0"
 import jax, jax.numpy as jnp
 from moleculediffusiontransformer_tpu.diffusion import UniformDistribution
@@ -50,6 +51,11 @@ n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
 def loss_fn(p, x, key):
     return model.apply({"params": p}, x, key).astype(jnp.float32)
 
+if remat:
+    # rematerialized forward: at 2**15 samples the full-graph VJP's
+    # residents blow XLA's VMEM stack at compile (the trainer's
+    # remat=True knob, applied here to the raw grad)
+    loss_fn = jax.checkpoint(loss_fn)
 grad_fn = jax.grad(loss_fn)
 
 @jax.jit
@@ -77,13 +83,14 @@ print(json.dumps({"length": length, "impl": impl, "batch": batch,
 """
 
 
-def run_cell(length: int, impl: str, iters: int, reps: int, batch: int):
+def run_cell(length: int, impl: str, iters: int, reps: int, batch: int,
+             remat: bool = False):
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache",
                JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="1")
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD, str(length), impl, str(iters),
-         str(reps), str(batch)],
+         str(reps), str(batch)] + (["remat"] if remat else []),
         capture_output=True, text=True, timeout=2400, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     for line in proc.stdout.splitlines():
@@ -101,10 +108,16 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the forward (jax.checkpoint) — "
+                    "required at 2**15 samples, where the full-graph VJP "
+                    "OOMs XLA's VMEM stack at compile")
     args = ap.parse_args()
     for length in [int(x) for x in args.lengths.split(",")]:
         for impl in ("flash", "xla"):
-            res = run_cell(length, impl, args.iters, args.reps, args.batch)
+            res = run_cell(length, impl, args.iters, args.reps, args.batch,
+                           remat=args.remat)
+            res["remat"] = args.remat
             print(json.dumps(res), flush=True)
 
 
