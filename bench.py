@@ -209,34 +209,42 @@ def _require_device(timeout_s: float = 900.0) -> None:
         raise err[0]
 
 
+_PROBE_SRC = """
+import jax, jax.numpy as jnp
+x = jnp.ones((128, 128), jnp.float32)
+v = float(jax.jit(jnp.sum)(jax.jit(jnp.matmul)(x, x)))
+assert v == 128.0 ** 3, v
+"""
+
+
 def _probe_compute_once(timeout_s: float) -> bool:
-    """One bounded dispatch probe: tiny jitted matmul + scalar transfer.
+    """One bounded dispatch probe in a THROWAWAY SUBPROCESS: tiny jitted
+    matmul + scalar transfer.
 
-    Observed tunnel failure mode (2026-08-18): ``jax.devices()`` returns
-    the TPU client fine, then the first trivial dispatch never completes.
-    The probe runs in a daemon thread so a wedge costs ``timeout_s``
-    seconds, not the whole bench window.  Returns True iff the dispatch
-    completed correctly in time."""
-    import threading
-    done = threading.Event()
-    err = []
-
-    def probe():
-        try:
-            x = jnp.ones((128, 128), jnp.float32)
-            v = float(jax.jit(jnp.sum)(jax.jit(jnp.matmul)(x, x)))
-            assert v == 128.0 ** 3, v
-        except BaseException as e:
-            err.append(e)
-        finally:
-            done.set()
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    if not done.wait(timeout_s):
+    Observed tunnel failure modes: (2026-08-18) ``jax.devices()`` returns
+    the TPU client fine, then the first trivial dispatch never completes;
+    and (2026-08-19) the dispatch fails FAST with a transient backend
+    error (FAILED_PRECONDITION right after another TPU process exited —
+    the same probe succeeds ~2 min later).  A subprocess handles both: a
+    wedge costs ``timeout_s`` (SIGKILL works at process level where a
+    wedged dispatch thread is unkillable), an error is a failed attempt
+    for the caller's retry loop (the probe is a trivial matmul — failure
+    is tunnel state, never product code), and the parent's backend is
+    never poisoned because it hasn't initialized yet (``main`` probes
+    before the parent touches the device)."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
         return False
-    if err:
-        raise err[0]
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-1:] or ["<no stderr>"]
+        print(f"bench: probe dispatch failed (rc={proc.returncode}): "
+              f"{tail[0]}", file=sys.stderr)
+        return False
     return True
 
 
@@ -245,16 +253,18 @@ def _require_compute(window_s: float = 540.0) -> None:
 
     Round-3 postmortem (BENCH_r03.json): the single 600s probe burned the
     whole driver window hanging on one dispatch.  Now each probe has a
-    short deadline (60s) and failures retry on a 30s backoff until
-    ``window_s`` elapses — a tunnel that recovers mid-window still yields
-    a bench run; one that stays dead aborts with rc=2 in ~1 min units."""
+    short deadline (90s — a HEALTHY fresh process's first dispatch takes
+    ~50s of backend init + compile, so 60s false-timed-out) and failures
+    — timeouts AND fast transient errors — retry on a 30s backoff until
+    ``window_s`` elapses: a tunnel that recovers mid-window still yields
+    a bench run; one that stays dead aborts with rc=2."""
     import sys
     import time as _time
     deadline = _time.monotonic() + window_s
     attempt = 0
     while True:
         attempt += 1
-        if _probe_compute_once(60.0):
+        if _probe_compute_once(90.0):
             if attempt > 1:
                 print(f"bench: tunnel recovered on probe attempt {attempt}",
                       file=sys.stderr)
@@ -263,8 +273,7 @@ def _require_compute(window_s: float = 540.0) -> None:
             print(f"bench: device dispatch never completed within "
                   f"{window_s:.0f}s across {attempt} probes (TPU tunnel "
                   "wedged?) — aborting", file=sys.stderr)
-            import os
-            os._exit(2)  # wedged dispatch threads are unkillable
+            sys.exit(2)  # probes are subprocesses; the parent is clean
         print(f"bench: probe attempt {attempt} timed out; retrying in 30s",
               file=sys.stderr)
         _time.sleep(30.0)
@@ -302,8 +311,11 @@ def _bounded_metric(fn, name: str, timeout_s: float = 1200.0) -> bool:
 def main():
     import sys
     from moleculediffusiontransformer_tpu.ops import transformer_fusion
-    _require_device()
+    # Probe BEFORE the parent initializes the backend: the subprocess
+    # probes absorb wedges/transient errors without poisoning this
+    # process's client, and the parent only connects once a probe passed.
     _require_compute()
+    _require_device()
     model = _model()
     key = jax.random.PRNGKey(0)
     props = jnp.zeros((2, 12))
