@@ -17,7 +17,8 @@ from .attention import (Attention, AttentionBase, RelativePositionBias,
 from .unet import (BottleneckBlock1d, DownsampleBlock1d, UNet1d, UNetAll1d,
                    UNetCFG1d, UNetNCCA1d, UpsampleBlock1d, XUNet1d,
                    cfg_forward)
-from .torch_import import state_dict_to_params, torch_key_to_path
+from .torch_import import (flax_path_to_torch_key, params_to_state_dict,
+                           state_dict_to_params, torch_key_to_path)
 from .transformer_blocks import (AttentionQKV, CausalDSConv, FeedForwardCNN,
                                  GCNLayer, GLU, GraphConvLayers, LNGamma,
                                  MQAttention, RelPosBias2d, gumbel_sample,

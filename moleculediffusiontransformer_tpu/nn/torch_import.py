@@ -39,6 +39,9 @@ def torch_key_to_path(key: str) -> Tuple[str, ...]:
 
 _LEAF_NAMES = ("kernel", "tkernel", "scale", "bias", "embedding", "weights")
 
+# torch buffers, never parameters (shared by import and export)
+_BUFFER_NAMES = ("inv_freq", "beta", "window", "pos_indices")
+
 
 def _flatten(tree: Mapping, prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:
     out: Dict[Tuple[str, ...], Any] = {}
@@ -95,7 +98,6 @@ def state_dict_to_params(state_dict: Mapping[str, Any], params: Dict,
     }
     # params copied verbatim under their own torch name (null_kv, gamma,
     # start_token, pos_bias, in_proj_weight/bias, ...): any exact-name match
-    _BUFFER_NAMES = ("inv_freq", "beta", "window", "pos_indices")
 
     # the reference registers the UNet twice (self.unet AND
     # XDiffusion(net=...), itself nesting an inner Diffusion), so
@@ -144,6 +146,103 @@ def state_dict_to_params(state_dict: Mapping[str, Any], params: Dict,
         raise KeyError(f"torch keys with no flax target: {missing[:10]}"
                        f" (+{max(0, len(missing) - 10)} more)")
     return _unflatten(out)
+
+
+def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
+    """Inverse of :func:`torch_key_to_path`:
+    ``('downsamples_0', 'blocks_1', 'block1', 'project', 'weight')`` ->
+    ``'downsamples.0.blocks.1.block1.project.weight'``.
+
+    Trailing pure-digit '_'-tokens of each segment are the torch
+    Sequential/ModuleList indices the import merged; they split back into
+    their own '.'-segments (``layers_0_2_1`` -> ``layers.0.2.1``).  Digits
+    embedded in an attribute name without '_' (``block1``) stay put.
+    """
+    segs: List[str] = []
+    for seg in path:
+        tokens = seg.split("_")
+        i = len(tokens)
+        while i > 1 and tokens[i - 1].isdigit():
+            i -= 1
+        segs.append("_".join(tokens[:i]))
+        segs.extend(tokens[i:])
+    return ".".join(segs)
+
+
+def _unconvert_leaf(target_name: str, value: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_convert_leaf` — flax layout back to torch layout."""
+    if target_name == "kernel":
+        if value.ndim == 3:                     # conv (k, in, out) -> (out, in, k)
+            return np.transpose(value, (2, 1, 0))
+        return np.transpose(value, (1, 0))      # linear (in, out) -> (out, in)
+    if target_name == "tkernel":                # convT (k, in, out) -> (in, out, k)
+        return np.transpose(value, (1, 2, 0))
+    if target_name == "in_proj_weight":         # torch MHA (d, 3d) -> (3d, d)
+        return np.transpose(value, (1, 0))
+    return value
+
+
+# flax leaf name -> the torch leaf name it was imported from
+_EXPORT_LEAF_NAMES = {"kernel": "weight", "tkernel": "weight",
+                      "scale": "weight", "embedding": "weight"}
+
+
+def params_to_state_dict(params: Dict, like: Any = None,
+                         strict: bool = True) -> Dict[str, np.ndarray]:
+    """Export a flax params pytree back to a torch ``state_dict`` mapping —
+    the exact inverse of :func:`state_dict_to_params`, so models fine-tuned
+    in this framework can be loaded by the reference's torch tooling
+    (reference checkpoints: /root/reference/README.md:44-60).
+
+    Values are float32 numpy arrays in torch layouts; load them with::
+
+        model.load_state_dict({k: torch.from_numpy(v) for k, v in sd.items()},
+                              strict=False)   # buffers keep torch's own values
+
+    ``like``: optional iterable of torch state_dict keys (e.g. from a
+    reference ``model.state_dict().keys()``).  When given, the result is
+    keyed EXACTLY by the ``like`` keys: duplicate registrations the import
+    drops (``diffusion.net.*`` / ``diffusion.diffusion.net.*`` aliases of
+    ``unet.*`` — reference model.py:30-32, generative.py:779) are filled
+    from the shared tensor, and deterministic torch buffers
+    (``inv_freq``/``beta``/``window``/``pos_indices``, never parameters)
+    are skipped — a fresh torch module already holds their values.  With
+    ``strict=True`` any other unmatchable key raises.
+    """
+    import re
+    flat = _flatten(params)
+    base: Dict[str, np.ndarray] = {}
+    for path, value in flat.items():
+        leaf = path[-1]
+        torch_leaf = _EXPORT_LEAF_NAMES.get(leaf, leaf)
+        key = flax_path_to_torch_key(path[:-1] + (torch_leaf,))
+        # the merge is many-to-one only for torch keys that were never
+        # parameters; a collision between two real params would silently
+        # drop one — refuse instead
+        assert key not in base, f"flax paths collide at torch key {key!r}"
+        base[key] = np.asarray(
+            _unconvert_leaf(leaf, np.asarray(value))).astype(np.float32)
+    if like is None:
+        return base
+
+    alias = re.compile(r"^(?:diffusion\.)+net\.")
+    out: Dict[str, np.ndarray] = {}
+    missing = []
+    for key in like:
+        if key in base:
+            out[key] = base[key]
+            continue
+        stripped = alias.sub("", key)
+        if alias.match(key) and ("unet." + stripped) in base:
+            out[key] = base["unet." + stripped]
+        elif key.rsplit(".", 1)[-1] in _BUFFER_NAMES:
+            continue                            # deterministic torch buffer
+        elif strict:
+            missing.append(key)
+    if strict and missing:
+        raise KeyError(f"torch keys with no flax source: {missing[:10]}"
+                       f" (+{max(0, len(missing) - 10)} more)")
+    return out
 
 
 def import_coverage(state_dict: Mapping[str, Any], params: Dict) -> Tuple[int, int]:
