@@ -273,6 +273,36 @@ def cmd_export(args) -> None:
     # tools/export_serving_artifact.py
 
 
+def cmd_export_torch(args) -> None:
+    """Checkpoint -> torch ``state_dict`` file (reference-layout keys and
+    tensor layouts via ``nn.params_to_state_dict``), so models fine-tuned
+    here load straight into the reference's torch tooling
+    (``model.load_state_dict(torch.load(out), strict=False)``)."""
+    import flax.serialization
+    import numpy as np
+
+    from .nn import params_to_state_dict
+
+    with open(args.checkpoint, "rb") as f:
+        tree = flax.serialization.msgpack_restore(f.read())
+    # accept a bare params tree, a {'params': ...} variables dict, or a
+    # full train-state checkpoint (params + optimizer state + step)
+    params = tree.get("params", tree) if isinstance(tree, dict) else tree
+    sd = params_to_state_dict(params)
+    if args.out.endswith(".npz"):
+        np.savez(args.out, **sd)
+    else:
+        try:
+            import torch
+        except ImportError:
+            raise SystemExit("torch unavailable — use an .npz --out "
+                             "(load with np.load + torch.from_numpy)")
+        torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, args.out)
+    total = sum(int(np.prod(v.shape)) for v in sd.values())
+    print(f"wrote {args.out}: {len(sd)} tensors, {total:,} parameters",
+          file=sys.stderr)
+
+
 def cmd_inspect(args) -> None:
     """Artifact introspection: kind, input specs, platforms, bundle
     contents, parameter count — without running anything."""
@@ -480,6 +510,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "serving replays live-jit performance exactly; the "
                    "portable StableHLO tier stays as the fallback")
     x.set_defaults(fn=cmd_export)
+
+    xt = sub.add_parser("export-torch", help="checkpoint -> torch "
+                        "state_dict (reference-layout; .pt or .npz)")
+    xt.add_argument("--checkpoint", required=True,
+                    help="msgpack checkpoint (train-state, variables, or "
+                    "bare params tree)")
+    xt.add_argument("--out", required=True,
+                    help=".pt (torch.save) or .npz (numpy) output")
+    xt.set_defaults(fn=cmd_export_torch)
 
     ins = sub.add_parser("inspect", help="artifact kind/specs/bundle "
                          "report (runs nothing)")

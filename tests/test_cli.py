@@ -139,3 +139,35 @@ def test_eval_random_init(capsys):
         "eval", "--task", "forward_transformer", "--preset", "tiny",
         "--rows", "96", "--num-eval", "4"])
     assert "r2" in out
+
+
+def test_export_torch_state_dict(tmp_path, capsys):
+    """export-torch: msgpack checkpoint -> torch-loadable state_dict file
+    with reference-layout keys (nn.params_to_state_dict semantics)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from moleculediffusiontransformer_tpu.core.checkpoint import (
+        save_checkpoint)
+    from moleculediffusiontransformer_tpu.nn import (Transformer1d,
+                                                     params_to_state_dict)
+
+    model = Transformer1d(1, 32, num_heads=2, head_features=4, multiplier=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 32)))
+    ckpt = str(tmp_path / "m.msgpack")
+    save_checkpoint(ckpt, variables)  # {'params': ...} variables form
+
+    pt = str(tmp_path / "m.pt")
+    cli.main(["export-torch", "--checkpoint", ckpt, "--out", pt])
+    import torch
+    loaded = torch.load(pt)
+    expect = params_to_state_dict(jax.device_get(variables["params"]))
+    assert set(loaded) == set(expect)
+    for k, v in expect.items():
+        assert np.array_equal(loaded[k].numpy(), v), k
+
+    npz = str(tmp_path / "m.npz")
+    cli.main(["export-torch", "--checkpoint", ckpt, "--out", npz])
+    with np.load(npz) as z:
+        assert set(z.files) == set(expect)
