@@ -1,0 +1,93 @@
+"""Unit tests for bench.py's driver-survival machinery.
+
+Round 3 lost every headline number to a single 600s hang on a wedged TPU
+tunnel (BENCH_r03.json: rc=2, parsed=null); these tests pin the
+behaviors the round-4 hardening added — fast subprocess probes, the
+bounded retry loop, and per-metric watchdogs — without any device.
+"""
+import importlib.util
+import os
+import sys
+import time
+
+import pytest
+
+_BENCH_PY = os.path.join(os.path.dirname(__file__), os.pardir, "bench.py")
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location("bench_under_test",
+                                                  _BENCH_PY)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# ------------------------------------------------------- probe subprocess ---
+
+def test_probe_success(bench, monkeypatch):
+    monkeypatch.setattr(bench, "_PROBE_SRC", "print('ok')")
+    assert bench._probe_compute_once(30.0) is True
+
+
+def test_probe_wedge_times_out_and_is_killed(bench, monkeypatch):
+    """A wedged dispatch costs the probe deadline, not the bench window —
+    and the subprocess is SIGKILLed, not left running."""
+    monkeypatch.setattr(bench, "_PROBE_SRC",
+                        "import time; time.sleep(600)")
+    t0 = time.monotonic()
+    assert bench._probe_compute_once(1.0) is False
+    assert time.monotonic() - t0 < 30.0
+
+
+def test_probe_fast_transient_error_is_failed_attempt(bench, monkeypatch,
+                                                      capsys):
+    """A FAST backend error (e.g. FAILED_PRECONDITION right after another
+    TPU process exited) must count as a failed attempt for the retry
+    loop, not crash the bench."""
+    monkeypatch.setattr(bench, "_PROBE_SRC",
+                        "raise RuntimeError('FAILED_PRECONDITION: device')")
+    assert bench._probe_compute_once(30.0) is False
+    assert "FAILED_PRECONDITION" in capsys.readouterr().err
+
+
+# ------------------------------------------------------------- retry loop ---
+
+def test_require_compute_recovers_mid_window(bench, monkeypatch):
+    calls = []
+    monkeypatch.setattr(bench, "_probe_compute_once",
+                        lambda t: calls.append(t) or len(calls) >= 3)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    bench._require_compute(window_s=600.0)
+    assert len(calls) == 3  # two failures, recovery on the third
+
+
+def test_require_compute_dead_tunnel_exits_rc2(bench, monkeypatch):
+    monkeypatch.setattr(bench, "_probe_compute_once", lambda t: False)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    with pytest.raises(SystemExit) as e:
+        bench._require_compute(window_s=0.0)
+    assert e.value.code == 2
+
+
+# -------------------------------------------------------------- watchdogs ---
+
+def test_bounded_metric_completion_and_timeout(bench):
+    ran = []
+    assert bench._bounded_metric(lambda: ran.append(1), "ok",
+                                 timeout_s=30.0) is True
+    assert ran == [1]
+    # a wedged metric returns False (caller skips the rest) instead of
+    # hanging the driver window
+    t0 = time.monotonic()
+    assert bench._bounded_metric(lambda: time.sleep(120), "wedge",
+                                 timeout_s=0.2) is False
+    assert time.monotonic() - t0 < 30.0
+
+
+def test_bounded_metric_propagates_exceptions(bench):
+    with pytest.raises(ValueError):
+        bench._bounded_metric(lambda: (_ for _ in ()).throw(ValueError("x")),
+                              "err", timeout_s=30.0)
