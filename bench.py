@@ -1,11 +1,14 @@
 """North-star benchmarks on the inverse QM diffusion model
 (BASELINE.json configs[0]: cfg UNet channels=64, pred_dim=16, max_length=64
-— the README "basic setup").  Three JSON lines:
+— the README "basic setup").  Four JSON lines:
 
   1. 64-step CFG ADPM2 sampling throughput (molecules/s) — the headline;
   2. train-step throughput (samples/s) — the second BASELINE metric;
   3. the same sampling metric on the 91M Inverse_Diffusion flagship preset
-     (vs `tools/measure_torch_baseline.py --flagship`).
+     (vs `tools/measure_torch_baseline.py --flagship`);
+  4. flagship train step at the reference's batch 1024 — on ONE chip via
+     2x512 gradient accumulation (the measured production configuration,
+     PERF.md; batch 1024 unaccumulated crashes the v5e worker).
 
 Baselines: the PyTorch reference on this machine's CPU at the identical
 architecture/sampler/steps, measured by `tools/measure_torch_baseline.py`
@@ -30,6 +33,12 @@ TORCH_CPU_MOL_PER_S = 0.4179            # sampling, molecules/s, batch 16
 TORCH_CPU_TRAIN_SAMPLES_PER_S = 21.203  # train step, samples/s, batch 16
 # `--flagship` run (91M Inverse_Diffusion preset), 2026-08-17:
 TORCH_CPU_FLAGSHIP_MOL_PER_S = 0.2885   # sampling, molecules/s, batch 16
+# `--flagship` train step, 2026-08-19 (same tool; best of 2 runs, 8.01 /
+# 9.58 — the higher is conservative for the speedup ratio).  Note both
+# runs also re-measured flagship sampling at 0.221/0.2215 vs the recorded
+# 0.2885 from 2026-08-17 — host throughput varies day to day; constants
+# keep each metric's best-ever observation.
+TORCH_CPU_FLAGSHIP_TRAIN_SAMPLES_PER_S = 9.5819
 
 # Sampling batches sit at each model's measured throughput-optimal point
 # (PERF.md batch-scaling probe: bench 384.7 -> 389.3 mol/s at 256 -> 512,
@@ -131,6 +140,52 @@ def bench_flagship_sampling():
         "value": round(mol_per_s, 3),
         "unit": "molecules/s",
         "vs_baseline": round(mol_per_s / TORCH_CPU_FLAGSHIP_MOL_PER_S, 1),
+    }), flush=True)
+
+
+def bench_flagship_train():
+    """Flagship (91M) train step at the reference's batch 1024: the
+    production configuration is 2x512 gradient accumulation on one chip
+    (PERF.md flagship-train table — unaccumulated batch 1024 hard-crashes
+    the v5e worker; 2x512 measured fastest: 16.7k vs 15.6k for 4x256)."""
+    from moleculediffusiontransformer_tpu.core.config import TrainConfig
+    from moleculediffusiontransformer_tpu.train import (
+        TrainState, make_diffusion_train_step, make_optimizer)
+    model = _flagship_model()
+    key = jax.random.PRNGKey(0)
+    batch = 1024
+    cond = jax.random.uniform(key, (batch, 12), minval=-1., maxval=1.)
+    target = jax.random.normal(key, (batch, model.max_length,
+                                     model.pred_dim))
+    variables = jax.jit(model.init)(key, cond[:2], target[:2], key)
+    tx = make_optimizer(TrainConfig())
+    state = TrainState.create(variables["params"], tx)
+    step = make_diffusion_train_step(model, tx, donate=False,
+                                     accumulation_steps=2)
+
+    steps = 5  # amortizes the ~33 ms tunnel RPC to <1.5% inside one program
+
+    @jax.jit
+    def run(state, key):
+        def body(s, k):
+            return step(s, cond, target, k)  # jitted step inlines in-trace
+        return jax.lax.scan(body, state, jax.random.split(key, steps))
+
+    _, losses = run(state, jax.random.PRNGKey(1))  # warmup/compile
+    _sync(losses)
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _, losses = run(state, jax.random.PRNGKey(2 + i))
+        _sync(losses)
+    dt = (time.perf_counter() - t0) / (reps * steps)
+    samples_per_s = batch / dt
+    print(json.dumps({
+        "metric": "inverse_qm_diffusion_flagship91M_train_step_accum2x512",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(
+            samples_per_s / TORCH_CPU_FLAGSHIP_TRAIN_SAMPLES_PER_S, 1),
     }), flush=True)
 
 
@@ -333,6 +388,7 @@ def main():
             ("sampling", lambda: bench_sampling(model, variables)),
             ("train", lambda: bench_train(model, variables)),
             ("flagship", bench_flagship_sampling),
+            ("flagship_train", bench_flagship_train),
         ):
             if not _bounded_metric(fn, name):
                 sys.exit(3)
