@@ -363,19 +363,42 @@ def _bounded_metric(fn, name: str, timeout_s: float = 1200.0) -> bool:
     return True
 
 
-def main():
+def main(argv=None):
+    import argparse
     import sys
     from moleculediffusiontransformer_tpu.ops import transformer_fusion
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--only", action="append", default=None, metavar="METRIC",
+        choices=["sampling", "train", "flagship", "flagship_train"],
+        help="run only the named metric(s); repeatable.  Default: all four "
+             "(the driver path).  Useful for smoke-testing one metric "
+             "without burning a full TPU window.")
+    args = parser.parse_args(argv)
     # Probe BEFORE the parent initializes the backend: the subprocess
     # probes absorb wedges/transient errors without poisoning this
     # process's client, and the parent only connects once a probe passed.
     _require_compute()
     _require_device()
-    model = _model()
-    key = jax.random.PRNGKey(0)
-    props = jnp.zeros((2, 12))
-    target = jnp.zeros((2, model.max_length, model.pred_dim))
-    variables = jax.jit(model.init)(key, props, target, key)
+    metrics = [
+        ("sampling", None),
+        ("train", None),
+        ("flagship", bench_flagship_sampling),
+        ("flagship_train", bench_flagship_train),
+    ]
+    selected = [(n, f) for n, f in metrics
+                if args.only is None or n in args.only]
+    # The bench model is shared by the first two metrics; skip its init
+    # (a ~30s compile on a cold cache) when neither was selected.
+    if any(f is None for _, f in selected):
+        model = _model()
+        key = jax.random.PRNGKey(0)
+        props = jnp.zeros((2, 12))
+        target = jnp.zeros((2, model.max_length, model.pred_dim))
+        variables = jax.jit(model.init)(key, props, target, key)
+        shared = {"sampling": lambda: bench_sampling(model, variables),
+                  "train": lambda: bench_train(model, variables)}
+        selected = [(n, f or shared[n]) for n, f in selected]
     # All metrics run the Transformer1d megakernel: sampling via the fused
     # forward (1.49x end-to-end), training via fused forward + the Pallas
     # BACKWARD segment chain (round 3; 19.4k vs 16.2k samples/s at batch
@@ -384,12 +407,7 @@ def main():
     # a mid-bench tunnel wedge still records whatever finished (round-3
     # lesson: one 600s hang erased the whole round's numbers).
     with transformer_fusion.fused(True):
-        for name, fn in (
-            ("sampling", lambda: bench_sampling(model, variables)),
-            ("train", lambda: bench_train(model, variables)),
-            ("flagship", bench_flagship_sampling),
-            ("flagship_train", bench_flagship_train),
-        ):
+        for name, fn in selected:
             if not _bounded_metric(fn, name):
                 sys.exit(3)
 

@@ -91,3 +91,29 @@ def test_bounded_metric_propagates_exceptions(bench):
     with pytest.raises(ValueError):
         bench._bounded_metric(lambda: (_ for _ in ()).throw(ValueError("x")),
                               "err", timeout_s=30.0)
+
+
+# ------------------------------------------------------- metric selection ---
+
+def test_only_selects_single_metric_without_bench_model(bench, monkeypatch):
+    """`--only flagship` runs exactly that metric and never builds the
+    shared bench model (whose init is a ~30s compile on a cold cache)."""
+    ran = []
+    monkeypatch.setattr(bench, "_require_compute", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_require_device", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_model", lambda: pytest.fail(
+        "--only flagship must not init the shared bench model"))
+    monkeypatch.setattr(bench, "bench_flagship_sampling",
+                        lambda: ran.append("flagship"))
+    monkeypatch.setattr(bench, "bench_flagship_train",
+                        lambda: pytest.fail("flagship_train not selected"))
+    bench.main(["--only", "flagship"])
+    assert ran == ["flagship"]
+
+
+def test_only_rejects_unknown_metric(bench, monkeypatch):
+    monkeypatch.setattr(bench, "_require_compute", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_require_device", lambda *a, **k: None)
+    with pytest.raises(SystemExit) as e:
+        bench.main(["--only", "nonsense"])
+    assert e.value.code == 2  # argparse usage error
