@@ -77,7 +77,12 @@ step flash_sweep 3600 python tools/bench_flash_attention.py
 # 4. End-to-end long-L audio train step A/B.
 step audio_long 3600 python tools/bench_audio_long.py
 
-# 5. North-star bench (has its own device/compute watchdogs).
+# 5. AR decode batch sweep (fills/refreshes the PERF.md round-4 AR
+# scaling table — the 2026-08-19 sweep ran right after a wedge recovery
+# and its absolute level was ~30% depressed).
+step ar_sweep 1800 python tools/bench_ar_generation.py
+
+# 6. North-star bench (has its own device/compute watchdogs).
 if [ "${1:-}" != "--skip-bench" ]; then
   step bench 3600 python bench.py
 fi
