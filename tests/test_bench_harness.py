@@ -117,3 +117,26 @@ def test_only_rejects_unknown_metric(bench, monkeypatch):
     with pytest.raises(SystemExit) as e:
         bench.main(["--only", "nonsense"])
     assert e.value.code == 2  # argparse usage error
+
+
+# --------------------------------------------------------------- AR sweep ---
+
+def test_bench_ar_generation_smoke(bench, monkeypatch, capsys):
+    """tools/bench_ar_generation.py end-to-end at CPU-feasible scale: one
+    JSON line per batch with finite throughput (the PERF.md round-4 AR
+    batch-scaling table's harness)."""
+    import json
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    import bench_ar_generation
+
+    monkeypatch.setattr(sys, "argv", ["bench_ar_generation.py",
+                                      "--batches", "2,4", "--tokens", "3"])
+    bench_ar_generation.main()
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert [r["batch"] for r in lines] == [2, 4]
+    for r in lines:
+        assert r["unit"] == "tokens/s"
+        assert r["value"] > 0 and r["vs_baseline"] > 0
