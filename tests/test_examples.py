@@ -30,6 +30,8 @@ def _run_example(name, *extra):
 
 @pytest.mark.parametrize("script,needle", [
     ("inverse_diffusion.py", "validity_fraction"),
+    ("forward_diffusion.py", "r2"),
+    ("inverse_transformer.py", "validity"),
     ("forward_transformer.py", "r2"),
 ])
 def test_example_smoke(script, needle):
