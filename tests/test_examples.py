@@ -1,7 +1,8 @@
 """Example-script smoke: the notebook-equivalent entry points must run
-end-to-end (train -> eval -> report) at --tiny scale.  Two
-representatives cover the shared plumbing (`examples/common.py`), one
-per task family; the other examples differ only in model recipe."""
+end-to-end (train -> eval -> report) at --tiny scale — one per task
+family (the audio/simple-model galleries and the serving example are
+exercised by tests/test_audio_graph.py, test_models_train.py and
+test_export.py at function level)."""
 import os
 import subprocess
 import sys
