@@ -307,19 +307,28 @@ def _require_compute(window_s: float = 540.0) -> None:
     """Fail FAST on a wedged tunnel, but keep retrying within the window.
 
     Round-3 postmortem (BENCH_r03.json): the single 600s probe burned the
-    whole driver window hanging on one dispatch.  Now each probe has a
-    short deadline (90s — a HEALTHY fresh process's first dispatch takes
-    ~50s of backend init + compile, so 60s false-timed-out) and failures
-    — timeouts AND fast transient errors — retry on a 30s backoff until
-    ``window_s`` elapses: a tunnel that recovers mid-window still yields
-    a bench run; one that stays dead aborts with rc=2."""
+    whole driver window hanging on one dispatch.  Each probe therefore
+    gets a bounded deadline, and failures — timeouts AND fast transient
+    errors — retry on a 30s backoff until ``window_s`` elapses: a tunnel
+    that recovers mid-window still yields a bench run; one that stays
+    dead aborts with rc=2.
+
+    Probe deadlines ESCALATE (90s, 180s, then the remaining window):
+    measured 2026-08-19 (late), the tunnel entered a SLOW-NOT-DEAD state
+    where a fresh process's first dispatch completes in ~171s — under a
+    fixed 90s deadline every probe kills a subprocess that would have
+    succeeded, and five such probes burned the whole window (a healthy
+    fresh process needs ~50s of init + compile, so 90s stays the first
+    rung to keep the dead-tunnel abort fast)."""
     import sys
     import time as _time
     deadline = _time.monotonic() + window_s
     attempt = 0
     while True:
         attempt += 1
-        if _probe_compute_once(90.0):
+        remaining = deadline - _time.monotonic()
+        probe_s = min(90.0 * (2 ** (attempt - 1)), max(remaining, 90.0))
+        if _probe_compute_once(probe_s):
             if attempt > 1:
                 print(f"bench: tunnel recovered on probe attempt {attempt}",
                       file=sys.stderr)
@@ -329,8 +338,8 @@ def _require_compute(window_s: float = 540.0) -> None:
                   f"{window_s:.0f}s across {attempt} probes (TPU tunnel "
                   "wedged?) — aborting", file=sys.stderr)
             sys.exit(2)  # probes are subprocesses; the parent is clean
-        print(f"bench: probe attempt {attempt} timed out; retrying in 30s",
-              file=sys.stderr)
+        print(f"bench: probe attempt {attempt} ({probe_s:.0f}s deadline) "
+              "failed; retrying in 30s", file=sys.stderr)
         _time.sleep(30.0)
 
 

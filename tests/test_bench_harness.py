@@ -62,6 +62,9 @@ def test_require_compute_recovers_mid_window(bench, monkeypatch):
     monkeypatch.setattr(time, "sleep", lambda s: None)
     bench._require_compute(window_s=600.0)
     assert len(calls) == 3  # two failures, recovery on the third
+    # deadlines escalate: a slow-not-dead tunnel (first dispatch ~171s,
+    # observed 2026-08-19) must be given a probe long enough to finish
+    assert calls[0] == 90.0 and calls[1] == 180.0 and calls[2] > 180.0
 
 
 def test_require_compute_dead_tunnel_exits_rc2(bench, monkeypatch):

@@ -57,13 +57,18 @@ deadline = time.monotonic() + 540
 attempt = 0
 while True:
     attempt += 1
-    if once():
+    # Escalating deadlines: the tunnel has a SLOW-NOT-DEAD state where a
+    # fresh process's first dispatch takes ~171s (measured 2026-08-19) —
+    # fixed short probes kill attempts that would have succeeded.
+    probe_s = min(60.0 * (2 ** (attempt - 1)),
+                  max(deadline - time.monotonic(), 60.0))
+    if once(probe_s):
         print('tunnel alive (attempt %d):' % attempt, jax.devices())
         break
     if time.monotonic() >= deadline:
         print('tunnel still wedged after %d probes' % attempt, file=sys.stderr)
         import os; os._exit(124)
-    print('probe attempt %d timed out; retrying in 30s' % attempt, file=sys.stderr)
+    print('probe attempt %d (%.0fs) failed; retrying in 30s' % (attempt, probe_s), file=sys.stderr)
     time.sleep(30)
 import os; os._exit(0)  # wedged daemon threads must not hang exit"
 
