@@ -82,10 +82,10 @@ step flash_sweep 3600 python tools/bench_flash_attention.py
 # 4. End-to-end long-L audio train step A/B.
 step audio_long 3600 python tools/bench_audio_long.py
 
-# 5. AR decode batch sweep (fills/refreshes the PERF.md round-4 AR
-# scaling table — the 2026-08-19 sweep ran right after a wedge recovery
-# and its absolute level was ~30% depressed).
-step ar_sweep 1800 python tools/bench_ar_generation.py
+# 5. AR decode batch sweep (refreshes the PERF.md AR scaling table;
+# CLOSED 2026-08-20 on a healthy tunnel: peak 122.8k tokens/s at batch
+# 1024, batch 2048 regresses ~7% — sweep 2048 too to re-check the knee).
+step ar_sweep 1800 python tools/bench_ar_generation.py --batches 256,512,1024,2048
 
 # 6. North-star bench (has its own device/compute watchdogs).
 if [ "${1:-}" != "--skip-bench" ]; then
