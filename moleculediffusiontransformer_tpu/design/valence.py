@@ -11,18 +11,30 @@ applies at parse time for the organic subset:
     (shared-digit reuse, %nn), dot-separated fragments;
   * kekulization of aromatic systems: every aromatic atom must sit in a
     ring of the aromatic subgraph, and the pi-needy atoms (aromatic C
-    without an exocyclic multiple bond; pyridine-type N) must admit a
-    perfect matching of alternating double bonds — pyrrole-type n[H]/
-    3-connected n, and o/s, contribute lone pairs instead;
+    without an exocyclic multiple bond; pyridine-type N, incl. charged
+    pyridinium [nH+]/[n+]) must admit a perfect matching of alternating
+    double bonds — pyrrole-type n[H]/3-connected neutral n, and o/s,
+    contribute lone pairs instead;
+  * Hückel 4n+2 electron count: every aromatic atom must lie on at least
+    one simple cycle of the aromatic subgraph whose pi-electron sum is
+    4n+2 (benzene 6, azulene's 10-perimeter, naphthalene's 6-rings) —
+    this is what rejects antiaromatic spellings RDKit rejects
+    (cyclobutadiene "c1ccc1", aromatic COT "c1ccccccc1") and aromatic
+    bonds outside any ring ("c1ccccc1cc1ccccc1");
   * valence check per atom against the allowed-valence table (charge-
     adjusted): organic-subset atoms may fill up with implicit hydrogens
     (valid iff bond-order sum <= max allowed), bracket atoms are exact
-    (bond sum + explicit H must hit an allowed valence).
+    (bond sum + explicit H must hit an allowed valence).  Elements
+    outside the organic/halogen table (metals, noble gases, ...) are
+    accepted in brackets with unconstrained valence — mirroring RDKit's
+    default valence of -1 (unchecked) for them, so "[Na+]", "[Fe+2]",
+    "[Na+].[Cl-]" parse exactly as RDKit parses them.
 
-Known approximation vs RDKit: no Hückel 4n+2 electron count — an
-antiaromatic system written in lowercase (e.g. cyclobutadiene "c1ccc1")
-kekulizes here but RDKit rejects it.  Generated-QM9 traffic never hits
-this; when RDKit is present it wins anyway (`smiles_is_valid`).
+Known approximation vs RDKit: the Hückel analysis enumerates ALL simple
+cycles (RDKit reasons over its perceived ring set), so pathological fused
+systems where only a non-SSSR cycle passes 4n+2 may be judged more
+permissively.  QM9-alphabet traffic never constructs such systems; when
+RDKit is present it wins anyway (`smiles_is_valid`).
 """
 from __future__ import annotations
 
@@ -47,6 +59,20 @@ _VALENCES: Dict[Tuple[str, int], Tuple[int, ...]] = {
 }
 _AROMATIC_OK = {"b", "c", "n", "o", "p", "s"}
 _LONE_PAIR_AROMATIC = {"o", "s"}          # contribute the pair, never a pi
+
+# All IUPAC element symbols.  Bracket atoms whose element is real but
+# absent from _VALENCES (metals, noble gases, metalloids) get RDKit's
+# default valence -1 treatment: any bond sum is accepted.
+_ELEMENTS = frozenset(
+    "H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe "
+    "Co Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In "
+    "Sn Sb Te I Xe Cs Ba La Ce Pr Nd Pm Sm Eu Gd Tb Dy Ho Er Tm Yb Lu Hf "
+    "Ta W Re Os Ir Pt Au Hg Tl Pb Bi Po At Rn Fr Ra Ac Th Pa U Np Pu Am "
+    "Cm Bk Cf Es Fm Md No Lr Rf Db Sg Bh Hs Mt Ds Rg Cn Nh Fl Mc Lv Ts "
+    "Og".split())
+# elements the valence table DOES cover — for these, an unlisted charge
+# state stays a rejection (e.g. [NH4] neutral, [CH4+]), never permissive
+_TABLE_ELEMENTS = frozenset(e for e, _ in _VALENCES)
 
 _BRACKET_RE = re.compile(
     r"^(?P<iso>\d+)?(?P<sym>[A-Z][a-z]?|[bcnops])(?P<chi>@{1,2})?"
@@ -191,6 +217,79 @@ def _tokenize_parse(smi: str) -> Optional[List[_Atom]]:
     return atoms
 
 
+def _pi_contribution(a: _Atom) -> int:
+    """Electrons the atom donates to an aromatic ring's pi system (the
+    standard Hückel bookkeeping RDKit's aromaticity model applies)."""
+    elem = a.element.lower()
+    if any(order is not None and order >= 2 for _, order in a.bonds):
+        return 0                          # exocyclic multiple bond (c=O)
+    if elem in _LONE_PAIR_AROMATIC:
+        return 2                          # o / s: the lone pair
+    if elem in ("n", "p"):
+        if a.charge > 0:
+            return 1                      # pyridinium-type
+        degree = len(a.bonds) + (a.explicit_h or 0)
+        if (a.explicit_h or 0) > 0 or degree >= 3 or a.charge < 0:
+            return 2                      # pyrrole-type lone pair
+        return 1                          # pyridine-type
+    if a.charge > 0:
+        return 0                          # tropylium-type empty orbital
+    if a.charge < 0:
+        return 2                          # cyclopentadienyl-type pair
+    if elem == "b":
+        return 0                          # neutral boron: empty p orbital
+    return 1                              # aromatic C
+
+
+def _huckel_ok(atoms: List[_Atom], aro_adj: Dict[int, List[int]]) -> bool:
+    """Hückel 4n+2 test: every aromatic atom must lie on at least one
+    simple cycle of the aromatic subgraph whose pi-electron sum is 4n+2.
+
+    Enumerating ALL simple cycles (not just an SSSR) is what lets
+    azulene pass via its 10-atom perimeter while its 5- and 7-rings
+    individually fail — matching RDKit's fused-ring-system analysis for
+    every molecule the QM9 alphabet can spell.  Aromatic subgraphs here
+    are tiny (<=~20 atoms), so the DFS enumeration is cheap; components
+    above the guard size fall back to accepting (never rejecting) so a
+    pathological input cannot blow up the checker.
+    """
+    contrib = {i: _pi_contribution(atoms[i]) for i in aro_adj}
+    justified: set = set()
+    seen: set = set()
+    for root in aro_adj:
+        if root in seen:
+            continue
+        comp = [root]
+        seen.add(root)
+        qi = 0
+        while qi < len(comp):
+            for w in aro_adj[comp[qi]]:
+                if w not in seen:
+                    seen.add(w)
+                    comp.append(w)
+            qi += 1
+        if len(comp) > 24:                # guard: accept oversized systems
+            justified.update(comp)
+            continue
+        # DFS cycle enumeration: each cycle found once per direction with
+        # its minimum-index atom as the start (standard canonicalization)
+        def dfs(start: int, v: int, path: List[int], on_path: set) -> None:
+            for w in aro_adj[v]:
+                if w == start and len(path) >= 3:
+                    if sum(contrib[i] for i in path) % 4 == 2:
+                        justified.update(path)
+                elif w > start and w not in on_path:
+                    path.append(w)
+                    on_path.add(w)
+                    dfs(start, w, path, on_path)
+                    path.pop()
+                    on_path.remove(w)
+
+        for s in sorted(comp):
+            dfs(s, s, [s], {s})
+    return all(i in justified for i in aro_adj)
+
+
 def _kekulize(atoms: List[_Atom]) -> bool:
     """Assign alternating double bonds over the aromatic subgraph; True if
     a consistent assignment exists (orders are written back in place)."""
@@ -209,6 +308,8 @@ def _kekulize(atoms: List[_Atom]) -> bool:
     for idx in aro_adj:
         if len(aro_adj[idx]) < 2:
             return False
+    if not _huckel_ok(atoms, aro_adj):
+        return False
 
     def needs_pi(idx: int) -> bool:
         a = atoms[idx]
@@ -218,6 +319,9 @@ def _kekulize(atoms: List[_Atom]) -> bool:
         if any(order is not None and order >= 2 for _, order in a.bonds):
             return False                  # exocyclic multiple bond covers it
         if elem == "n" or elem == "p":
+            if a.charge > 0:
+                return True               # pyridinium-type [nH+]/[n+](R):
+                                          # the cation keeps its pi bond
             # pyrrole-type: explicit H or 3 sigma connections (or anion)
             # contribute the lone pair; pyridine-type needs the pi
             degree = len(a.bonds) + (a.explicit_h or 0)
@@ -271,7 +375,16 @@ def valence_smiles_valid(smi: str) -> bool:
     for a in atoms:
         allowed = _VALENCES.get((a.element, a.charge))
         if allowed is None:
-            return False
+            if (a.element in _TABLE_ELEMENTS or a.element not in _ELEMENTS
+                    or a.explicit_h is None):
+                # organic/halogen element in a charge state the table
+                # rejects, a made-up symbol, or a non-bracket atom —
+                # all rejections.  (Non-bracket atoms are organic-subset
+                # only, so element is always in the table here anyway.)
+                return False
+            continue                      # metal/inorganic bracket atom:
+                                          # RDKit default valence -1
+                                          # (unchecked) — accept any bonds
         bond_sum = sum(order for _, order in a.bonds)
         if a.explicit_h is None:          # organic subset: implicit H fill
             if not any(bond_sum <= v for v in allowed):

@@ -78,18 +78,32 @@ RDKIT_INVALID = [
     "c1ccnc1",             # 5-ring pyridine-type n: un-kekulizable
     "c1ccccc1c",           # dangling aromatic atom off the ring
     "c1ccc2cc1",           # 'naphthalene' missing an atom: bad fusion
+    # --- Hückel 4n+2 failures (matching exists; aromaticity impossible) ---
+    "c1ccc1",              # cyclobutadiene (4 pi)
+    "c1ccccccc1",          # cyclooctatetraene written aromatic (8 pi)
+    "c1cccc1",             # cyclopentadiene written aromatic (5 pi)
+    "c1ccccc1cc1ccccc1",   # aromatic bond bridging two rings (cc not in
+                           # any ring — RDKit: non-ring aromatic bond)
+    "c1cc[nH2+]cc1",       # nH2+ needs a pi bond -> pentavalent N+
+]
+
+# --- entries the valence checker once diverged on (KNOWN_DIVERGENT until
+# round 4's Hückel + metal-valence upgrade) now live in the main lists:
+RDKIT_VALID += [
+    "[Na+]", "[Fe+2]", "[Na+].[Cl-]",    # bare metal ions (valence -1)
+    "Cl[Fe]Cl",                          # bonded metal, unchecked valence
+    # charged aromatics the Hückel/pyridinium upgrade unlocked
+    "c1cc[nH+]cc1",                      # pyridinium
+    "C[n+]1ccccc1",                      # N-methylpyridinium
+    "[O-][n+]1ccccc1",                   # pyridine N-oxide
+    "[cH+]1cccccc1",                     # tropylium (6 pi, C+ gives 0)
+    "[cH-]1cccc1",                       # cyclopentadienyl anion (6 pi)
+    "c1ccc2cccc2cc1",                    # azulene: 10-pi perimeter wins
 ]
 
 # (smiles, ours, rdkit): deliberate approximations of design/valence.py,
-# each with the reason pinned in tests/test_valence.py.
-KNOWN_DIVERGENT = [
-    # no Hückel 4n+2 electron count: antiaromatic rings written lowercase
-    # kekulize here (alternating bonds exist) but RDKit rejects them
-    ("c1ccc1", True, False),          # cyclobutadiene
-    ("c1ccccccc1", True, False),      # cyclooctatetraene written aromatic
-    # no metal/inorganic valence table: QM9 traffic is CHNOF-organic, so
-    # bare metal ions are out of scope for the fallback (RDKit parses them)
-    ("[Na+]", False, True),
-    ("[Fe+2]", False, True),
-    ("[Na+].[Cl-]", False, True),
-]
+# each with the reason pinned in tests/test_valence.py.  Empty since the
+# round-4 Hückel 4n+2 + metal-valence upgrade closed all five documented
+# divergences; kept so tests/test_rdkit_gated.py's machinery stays wired
+# for any future, deliberately-accepted divergence.
+KNOWN_DIVERGENT = []
