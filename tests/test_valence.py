@@ -36,6 +36,29 @@ def test_known_divergences_pinned(smi, ours, theirs):
     assert valence_smiles_valid(smi) is ours, smi
 
 
+@pytest.mark.parametrize("n", range(3, 17))
+def test_aromatic_carbocycle_huckel(n):
+    """Pure-carbon aromatic ring of size n is RDKit-parseable iff the pi
+    count (= n) is 4k+2: benzene 6, [10]/[14]annulene; odd rings fail
+    kekulization, 4k rings (cyclobutadiene, COT) fail Hückel."""
+    smi = "c1" + "c" * (n - 2) + "c1"
+    assert valence_smiles_valid(smi) is (n % 4 == 2), smi
+
+
+def test_oversized_aromatic_component_guard_accepts():
+    """Components above the cycle-enumeration guard (24 atoms) are
+    accepted permissively, never rejected — [26]annulene (26 pi = 4k+2,
+    RDKit-valid) exercises that path and happens to be correct too."""
+    assert valence_smiles_valid("c1" + "c" * 24 + "c1")
+
+
+def test_kekule_spellings_unaffected_by_huckel():
+    """Uppercase (kekulé) antiaromatics are plain valence chemistry —
+    RDKit parses C1=CC=C1 even though it rejects c1ccc1."""
+    assert valence_smiles_valid("C1=CC=C1")          # cyclobutadiene
+    assert valence_smiles_valid("C1=CC=CC=CC=C1")    # cyclooctatetraene
+
+
 def test_smiles_is_valid_routes_to_valence_checker():
     """Without RDKit the public API must reject valence-impossible
     molecules the old grammar-only fallback passed."""
