@@ -24,17 +24,24 @@ applies at parse time for the organic subset:
   * valence check per atom against the allowed-valence table (charge-
     adjusted): organic-subset atoms may fill up with implicit hydrogens
     (valid iff bond-order sum <= max allowed), bracket atoms are exact
-    (bond sum + explicit H must hit an allowed valence).  Elements
-    outside the organic/halogen table (metals, noble gases, ...) are
-    accepted in brackets with unconstrained valence — mirroring RDKit's
-    default valence of -1 (unchecked) for them, so "[Na+]", "[Fe+2]",
-    "[Na+].[Cl-]" parse exactly as RDKit parses them.
+    (bond sum + explicit H must hit an allowed valence).  Main-group
+    bracket elements beyond the organic table (Si, Na, Mg, Al, Se, As,
+    Te, ...) are checked against RDKit's default-valence model with its
+    effective-valence charge rule (charge sign flips for early atoms),
+    so "[Na+]"/"[SiH4]" are accepted but "[SiH8]"/"[MgH6]"/"C[Na](C)C"
+    are rejected exactly as RDKit rejects them.  Only elements RDKit
+    itself leaves unchecked (default valence -1: transition metals,
+    lanthanides/actinides) are accepted with unconstrained valence, so
+    "[Fe+2]" and "Cl[Fe]Cl" parse exactly as RDKit parses them.
 
-Known approximation vs RDKit: the Hückel analysis enumerates ALL simple
-cycles (RDKit reasons over its perceived ring set), so pathological fused
-systems where only a non-SSSR cycle passes 4n+2 may be judged more
-permissively.  QM9-alphabet traffic never constructs such systems; when
-RDKit is present it wins anyway (`smiles_is_valid`).
+Known approximations vs RDKit (cross-validated on the annotated corpus in
+tests/rdkit_corpus.py — zero divergences ON THAT CORPUS; the corpus is
+finite, so off-corpus edge cases may still differ): the Hückel analysis
+enumerates ALL simple cycles (RDKit reasons over its perceived ring set)
+under a fixed work budget — pathological dense aromatic graphs that
+exhaust the budget are accepted permissively.  QM9-alphabet traffic never
+constructs such systems; when RDKit is present it wins anyway
+(`smiles_is_valid`).
 """
 from __future__ import annotations
 
@@ -60,9 +67,32 @@ _VALENCES: Dict[Tuple[str, int], Tuple[int, ...]] = {
 _AROMATIC_OK = {"b", "c", "n", "o", "p", "s"}
 _LONE_PAIR_AROMATIC = {"o", "s"}          # contribute the pair, never a pi
 
+# RDKit default valences for main-group elements beyond the organic/
+# halogen table above (RDKit atomic_data defaults).  These ARE
+# valence-checked by RDKit — the unchecked default-valence -1 set is only
+# the transition metals and lanthanides/actinides (everything real that
+# appears in neither table).  Charges are handled by RDKit's
+# effective-valence rule (see `_EARLY_ELEMENTS`), not per-charge rows.
+_MAIN_GROUP_VALENCES: Dict[str, Tuple[int, ...]] = {
+    "Li": (1,), "Be": (2,), "Na": (1,), "Mg": (2,), "K": (1,), "Ca": (2,),
+    "Rb": (1,), "Sr": (2,), "Cs": (1,), "Ba": (2,), "Fr": (1,), "Ra": (2,),
+    "Al": (3,), "Ga": (3,), "In": (3,), "Tl": (1, 3),
+    "Si": (4,), "Ge": (4,), "Sn": (2, 4), "Pb": (2, 4),
+    "As": (3, 5), "Sb": (3, 5), "Bi": (3, 5),
+    "Se": (2, 4, 6), "Te": (2, 4, 6), "Po": (2, 4, 6), "At": (1,),
+    "He": (0,), "Ne": (0,), "Ar": (0,), "Kr": (0,), "Xe": (0, 2, 4, 6),
+    "Rn": (0,),
+}
+# "Early" atoms in RDKit's sense (fewer than 4 outer electrons, H/He
+# excepted): the formal-charge sign FLIPS in the effective-valence
+# computation, so [Na+]/[Mg+2]/[AlH4-] pass while C[Na](C)C fails.
+_EARLY_ELEMENTS = frozenset(
+    "Li Be Na Mg K Ca Rb Sr Cs Ba Fr Ra Al Ga In Tl".split())
+
 # All IUPAC element symbols.  Bracket atoms whose element is real but
-# absent from _VALENCES (metals, noble gases, metalloids) get RDKit's
-# default valence -1 treatment: any bond sum is accepted.
+# absent from BOTH valence tables (transition metals, lanthanides,
+# actinides) get RDKit's default valence -1 treatment: any bond sum is
+# accepted.
 _ELEMENTS = frozenset(
     "H He Li Be B C N O F Ne Na Mg Al Si P S Cl Ar K Ca Sc Ti V Cr Mn Fe "
     "Co Ni Cu Zn Ga Ge As Se Br Kr Rb Sr Y Zr Nb Mo Tc Ru Rh Pd Ag Cd In "
@@ -224,7 +254,9 @@ def _pi_contribution(a: _Atom) -> int:
     if any(order is not None and order >= 2 for _, order in a.bonds):
         return 0                          # exocyclic multiple bond (c=O)
     if elem in _LONE_PAIR_AROMATIC:
-        return 2                          # o / s: the lone pair
+        if a.charge > 0:
+            return 1                      # pyrylium/thiopyrylium [o+]/[s+]
+        return 2                          # neutral o / s: the lone pair
     if elem in ("n", "p"):
         if a.charge > 0:
             return 1                      # pyridinium-type
@@ -241,6 +273,14 @@ def _pi_contribution(a: _Atom) -> int:
     return 1                              # aromatic C
 
 
+# DFS edge-visit budget per aromatic component for the Hückel cycle
+# enumeration.  Molecule-like graphs (max degree 3, planar-ish fusion)
+# finish in <<1 ms well beyond any SMILES-spellable aromatic system;
+# only dense adversarial graphs exhaust it (measured: coronene ~3k
+# visits, a 40-annulene ~100 visits).
+_HUCKEL_BUDGET = 200_000
+
+
 def _huckel_ok(atoms: List[_Atom], aro_adj: Dict[int, List[int]]) -> bool:
     """Hückel 4n+2 test: every aromatic atom must lie on at least one
     simple cycle of the aromatic subgraph whose pi-electron sum is 4n+2.
@@ -248,10 +288,15 @@ def _huckel_ok(atoms: List[_Atom], aro_adj: Dict[int, List[int]]) -> bool:
     Enumerating ALL simple cycles (not just an SSSR) is what lets
     azulene pass via its 10-atom perimeter while its 5- and 7-rings
     individually fail — matching RDKit's fused-ring-system analysis for
-    every molecule the QM9 alphabet can spell.  Aromatic subgraphs here
-    are tiny (<=~20 atoms), so the DFS enumeration is cheap; components
-    above the guard size fall back to accepting (never rejecting) so a
-    pathological input cannot blow up the checker.
+    every molecule the QM9 alphabet can spell.  Aromatic subgraphs in
+    real traffic are tiny (<=~20 atoms) and molecule-like graphs (max
+    degree 3) keep the cycle count small even at macrocycle sizes, so a
+    [28]annulene is correctly rejected (4n pi) rather than size-guarded
+    into acceptance.  The enumeration runs under a fixed WORK budget
+    (`_HUCKEL_BUDGET` DFS edge visits per component): only pathological
+    dense aromatic graphs (e.g. fullerene-like cages, whose simple-cycle
+    count is astronomical) exhaust it and fall back to accepting (never
+    rejecting), so an adversarial input cannot blow up the checker.
     """
     contrib = {i: _pi_contribution(atoms[i]) for i in aro_adj}
     justified: set = set()
@@ -268,13 +313,17 @@ def _huckel_ok(atoms: List[_Atom], aro_adj: Dict[int, List[int]]) -> bool:
                     seen.add(w)
                     comp.append(w)
             qi += 1
-        if len(comp) > 24:                # guard: accept oversized systems
-            justified.update(comp)
-            continue
         # DFS cycle enumeration: each cycle found once per direction with
-        # its minimum-index atom as the start (standard canonicalization)
+        # its minimum-index atom as the start (standard canonicalization);
+        # bounded by a work budget so dense pathological graphs cannot
+        # blow up (see docstring)
+        budget = [_HUCKEL_BUDGET]
+
         def dfs(start: int, v: int, path: List[int], on_path: set) -> None:
             for w in aro_adj[v]:
+                if budget[0] <= 0:
+                    return
+                budget[0] -= 1
                 if w == start and len(path) >= 3:
                     if sum(contrib[i] for i in path) % 4 == 2:
                         justified.update(path)
@@ -287,6 +336,10 @@ def _huckel_ok(atoms: List[_Atom], aro_adj: Dict[int, List[int]]) -> bool:
 
         for s in sorted(comp):
             dfs(s, s, [s], {s})
+            if budget[0] <= 0:
+                break
+        if budget[0] <= 0:                # guard: accept, never reject
+            justified.update(comp)
     return all(i in justified for i in aro_adj)
 
 
@@ -315,7 +368,9 @@ def _kekulize(atoms: List[_Atom]) -> bool:
         a = atoms[idx]
         elem = a.element.lower()
         if elem in _LONE_PAIR_AROMATIC:
-            return False
+            # pyrylium-type [o+]/[s+] keeps its pi bond (the asymmetric
+            # counterpart of pyridinium); neutral o/s donate the lone pair
+            return a.charge > 0
         if any(order is not None and order >= 2 for _, order in a.bonds):
             return False                  # exocyclic multiple bond covers it
         if elem == "n" or elem == "p":
@@ -382,9 +437,21 @@ def valence_smiles_valid(smi: str) -> bool:
                 # all rejections.  (Non-bracket atoms are organic-subset
                 # only, so element is always in the table here anyway.)
                 return False
-            continue                      # metal/inorganic bracket atom:
-                                          # RDKit default valence -1
-                                          # (unchecked) — accept any bonds
+            mg = _MAIN_GROUP_VALENCES.get(a.element)
+            if mg is None:
+                continue                  # transition metal / lanthanide /
+                                          # actinide bracket atom: RDKit
+                                          # default valence -1 (unchecked)
+            # RDKit's effective-valence rule for main-group elements:
+            # charge is subtracted from the bond+H sum, with the SIGN
+            # FLIPPED for early atoms, then compared to the neutral
+            # default valences — so [Na+] (0+1<=1) and [AlH4-] (4-1<=3)
+            # pass while [SiH8] (8>4) and C[Na](C)C (3>1) fail.
+            chg = -a.charge if a.element in _EARLY_ELEMENTS else a.charge
+            ev = sum(order for _, order in a.bonds) + a.explicit_h - chg
+            if ev > max(mg):
+                return False
+            continue
         bond_sum = sum(order for _, order in a.bonds)
         if a.explicit_h is None:          # organic subset: implicit H fill
             if not any(bond_sum <= v for v in allowed):

@@ -101,6 +101,25 @@ RDKIT_VALID += [
     "c1ccc2cccc2cc1",                    # azulene: 10-pi perimeter wins
 ]
 
+# --- round-5 advisor findings: main-group bracket valences + charged
+# aromatic O/S (pyrylium-type) + 4n-annulenes above the old size guard ---
+RDKIT_VALID += [
+    "[o+]1ccccc1",                       # pyrylium: o+ donates 1 pi
+    "[s+]1ccccc1",                       # thiopyrylium
+    "C[Si](C)(C)C", "[SiH4]",            # Si default valence 4
+    "[AlH4-]", "[Mg+2]", "[K+]",         # early-atom charge flip
+    "[SeH2]", "C[Se]C",                  # Se (2,4,6)
+    "O=[As](O)(O)O",                     # arsenate: As valence 5
+]
+RDKIT_INVALID += [
+    "[SiH8]", "[MgH6]", "C[Na](C)C",     # main-group over-valence (RDKit
+                                         # checks these; only transition
+                                         # metals/lanthanides are -1)
+    "[NaH2]", "[AlH6]",                  # more early-atom over-valence
+    "c1" + "c" * 26 + "c1",              # [28]annulene: 4n pi, rejected
+                                         # beyond the retired 24-atom guard
+]
+
 # (smiles, ours, rdkit): deliberate approximations of design/valence.py,
 # each with the reason pinned in tests/test_valence.py.  Empty since the
 # round-4 Hückel 4n+2 + metal-valence upgrade closed all five documented
