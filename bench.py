@@ -1,6 +1,6 @@
 """North-star benchmarks on the inverse QM diffusion model
 (BASELINE.json configs[0]: cfg UNet channels=64, pred_dim=16, max_length=64
-— the README "basic setup").  Four JSON lines:
+— the README "basic setup").  Five JSON lines:
 
   1. 64-step CFG ADPM2 sampling throughput (molecules/s) — the headline;
   2. train-step throughput (samples/s) — the second BASELINE metric;
@@ -8,7 +8,11 @@
      (vs `tools/measure_torch_baseline.py --flagship`);
   4. flagship train step at the reference's batch 1024 — on ONE chip via
      2x512 gradient accumulation (the measured production configuration,
-     PERF.md; batch 1024 unaccumulated crashes the v5e worker).
+     PERF.md; batch 1024 unaccumulated crashes the v5e worker);
+  5. AR-transformer CFG generation (tokens/s): the Inverse_Transformer
+     notebook preset decoding 63 tokens via the KV-cached jitted scan at
+     the measured serving-optimal batch 1024, vs the reference's uncached
+     O(T^2 x depth) loop (`transformer.py:786-838`) on this host's CPU.
 
 Baselines: the PyTorch reference on this machine's CPU at the identical
 architecture/sampler/steps, measured by `tools/measure_torch_baseline.py`
@@ -39,6 +43,12 @@ TORCH_CPU_FLAGSHIP_MOL_PER_S = 0.2885   # sampling, molecules/s, batch 16
 # 0.2885 from 2026-08-17 — host throughput varies day to day; constants
 # keep each metric's best-ever observation.
 TORCH_CPU_FLAGSHIP_TRAIN_SAMPLES_PER_S = 9.5819
+# AR generation: torch reference `MoleculeTransformerSequence.generate`
+# (uncached full-prefix re-forward per token, reference
+# transformer.py:786-838), notebook preset (dim 128 depth 12), 63 tokens,
+# batch 16 — measured round 1 on this host (tools/bench_ar_generation.py
+# docstring records the run).
+TORCH_CPU_AR_TOKENS_PER_S = 49.8
 
 # Sampling batches sit at each model's measured throughput-optimal point
 # (PERF.md batch-scaling probe: bench 384.7 -> 389.3 mol/s at 256 -> 512,
@@ -55,6 +65,10 @@ FLAGSHIP_BATCH = 512
 # 16.3) — conservative for the speedup ratio.
 TRAIN_BATCH = 1024
 TRAIN_STEPS = 10
+# AR decode scaling (PERF.md round-4 sweep on a healthy tunnel): tokens/s
+# peaks at batch 1024 (122.8k) and regresses ~7% at 2048.
+AR_BATCH = 1024
+AR_TOKENS = 63  # the notebook's tokens_to_generate (max_length 64 - start)
 
 
 def _sync(x) -> float:
@@ -186,6 +200,47 @@ def bench_flagship_train():
         "unit": "samples/s",
         "vs_baseline": round(
             samples_per_s / TORCH_CPU_FLAGSHIP_TRAIN_SAMPLES_PER_S, 1),
+    }), flush=True)
+
+
+def bench_ar_generation():
+    """Inverse-transformer AR CFG generation at the Inverse_Transformer
+    notebook preset (`core/config.py::inverse_transformer_qm9` — dim 128,
+    depth 12, heads 8, dim_head 16, logits_dim 24; 2,407,712 params):
+    63 tokens via the KV-cached jitted scan (batched cond+uncond CFG),
+    batch 1024 (the measured throughput-optimal point, PERF.md AR
+    scaling table).  The torch baseline is the reference's uncached
+    generate loop — 2 full-prefix forwards per token
+    (transformer.py:786-838) — at ITS best batch (16)."""
+    from moleculediffusiontransformer_tpu.models import (
+        MoleculeTransformerSequence, generate_sequence)
+    model = MoleculeTransformerSequence(
+        dim=128, depth=12, logits_dim=24, dim_head=16, heads=8,
+        text_embed_dim=16, max_text_len=12)
+    key = jax.random.PRNGKey(0)
+    init_y = jax.random.uniform(key, (2, 12), minval=-1.0, maxval=1.0)
+    init_ids = jnp.zeros((2, 4), jnp.int32)
+    variables = model.init({"params": key}, init_y, init_ids, key=key)
+    props = jax.random.uniform(jax.random.PRNGKey(1), (AR_BATCH, 12),
+                               minval=-1.0, maxval=1.0)
+    start = jnp.ones((AR_BATCH, 1), jnp.int32)
+
+    def run(k):
+        return generate_sequence(model, variables, props, start, k,
+                                 tokens_to_generate=AR_TOKENS)
+
+    _sync(run(jax.random.PRNGKey(2)))  # warmup/compile
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _sync(run(jax.random.PRNGKey(3 + i)))
+    dt = (time.perf_counter() - t0) / reps
+    tokens_per_s = AR_BATCH * AR_TOKENS / dt
+    print(json.dumps({
+        "metric": "inverse_transformer_ar_cfg_generation",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tokens_per_s / TORCH_CPU_AR_TOKENS_PER_S, 1),
     }), flush=True)
 
 
@@ -379,8 +434,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--only", action="append", default=None, metavar="METRIC",
-        choices=["sampling", "train", "flagship", "flagship_train"],
-        help="run only the named metric(s); repeatable.  Default: all four "
+        choices=["sampling", "train", "flagship", "flagship_train", "ar"],
+        help="run only the named metric(s); repeatable.  Default: all five "
              "(the driver path).  Useful for smoke-testing one metric "
              "without burning a full TPU window.")
     args = parser.parse_args(argv)
@@ -394,6 +449,7 @@ def main(argv=None):
         ("train", None),
         ("flagship", bench_flagship_sampling),
         ("flagship_train", bench_flagship_train),
+        ("ar", bench_ar_generation),
     ]
     selected = [(n, f) for n, f in metrics
                 if args.only is None or n in args.only]

@@ -122,6 +122,26 @@ def test_only_rejects_unknown_metric(bench, monkeypatch):
     assert e.value.code == 2  # argparse usage error
 
 
+def test_only_ar_metric_runs_fifth_metric(bench, monkeypatch, capsys):
+    """`--only ar` emits the AR-generation JSON line (the 5th metric,
+    round-5 VERDICT item 2) at CPU-feasible scale, without touching the
+    shared bench model."""
+    import json
+    monkeypatch.setattr(bench, "_require_compute", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_require_device", lambda *a, **k: None)
+    monkeypatch.setattr(bench, "_model", lambda: pytest.fail(
+        "--only ar must not init the shared bench model"))
+    monkeypatch.setattr(bench, "AR_BATCH", 2)
+    monkeypatch.setattr(bench, "AR_TOKENS", 3)
+    bench.main(["--only", "ar"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 1
+    assert lines[0]["metric"] == "inverse_transformer_ar_cfg_generation"
+    assert lines[0]["unit"] == "tokens/s"
+    assert lines[0]["value"] > 0 and lines[0]["vs_baseline"] > 0
+
+
 # --------------------------------------------------------------- AR sweep ---
 
 def test_bench_ar_generation_smoke(bench, monkeypatch, capsys):
