@@ -71,6 +71,60 @@ AR_BATCH = 1024
 AR_TOKENS = 63  # the notebook's tokens_to_generate (max_length 64 - start)
 
 
+# --dp N state: a ('data',) mesh; metric inputs get their leading batch
+# axis sharded over it and XLA's GSPMD partitions the jitted programs
+# (per-chip DP with psum'd grads — SURVEY §2.10's one required
+# distributed component).  On this one-chip tunnel the mesh falls back
+# to virtual CPU devices (honoring --xla_force_host_platform_device_count)
+# so the sharded programs COMPILE AND EXECUTE correctly; such runs are
+# correctness evidence, NOT perf numbers, and are labeled
+# `"virtual_mesh": true` with vs_baseline nulled.  The real-hardware
+# invocation (the day a multi-chip pod exists) is simply:
+#   python bench.py --dp 8
+_DP_MESH = None
+
+
+def _make_dp_mesh(n: int):
+    import numpy as _np
+    from jax.sharding import Mesh
+    devs = jax.devices()
+    if len(devs) < n:
+        devs = jax.devices("cpu")   # virtual fallback (8 via conftest flag)
+    assert len(devs) >= n, f"--dp {n}: only {len(devs)} devices available"
+    return Mesh(_np.asarray(devs[:n]), ("data",))
+
+
+def _shard_data(x):
+    """Shard the leading (batch) axis over the --dp mesh; no-op without."""
+    if _DP_MESH is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    spec = PartitionSpec(*(("data",) + (None,) * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(_DP_MESH, spec))
+
+
+def _replicate(tree):
+    """Replicate a param/state tree over the --dp mesh; no-op without."""
+    if _DP_MESH is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+    sharding = NamedSharding(_DP_MESH, PartitionSpec())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding),
+                                  tree)
+
+
+def _emit(rec: dict) -> None:
+    if _DP_MESH is not None:
+        devs = _DP_MESH.devices.ravel()
+        rec["dp"] = int(devs.size)
+        rec["virtual_mesh"] = devs[0].platform != "tpu"
+        if rec["virtual_mesh"]:
+            # virtual CPU mesh: validates the sharded program end-to-end,
+            # but the throughput is a CPU number — never compare it.
+            rec["vs_baseline"] = None
+    print(json.dumps(rec), flush=True)
+
+
 def _sync(x) -> float:
     # NOTE: on the tunneled TPU backend block_until_ready() returns before
     # execution completes; a device-side reduction + scalar transfer is the
@@ -95,7 +149,9 @@ def _model():
 def bench_sampling(model, variables):
     from moleculediffusiontransformer_tpu.models import sample
     key = jax.random.PRNGKey(0)
-    props = jax.random.uniform(key, (BATCH, 12), minval=-1.0, maxval=1.0)
+    props = _shard_data(
+        jax.random.uniform(key, (BATCH, 12), minval=-1.0, maxval=1.0))
+    variables = _replicate(variables)
 
     def run(k):
         return sample(model, variables, props, k, num_steps=NUM_STEPS,
@@ -108,12 +164,12 @@ def bench_sampling(model, variables):
         _sync(run(jax.random.PRNGKey(2 + i)))
     dt = (time.perf_counter() - t0) / reps
     mol_per_s = BATCH / dt
-    print(json.dumps({
+    _emit({
         "metric": "inverse_qm_diffusion_cfg64_sampling",
         "value": round(mol_per_s, 3),
         "unit": "molecules/s",
         "vs_baseline": round(mol_per_s / TORCH_CPU_MOL_PER_S, 1),
-    }), flush=True)
+    })
 
 
 def _flagship_model():
@@ -136,7 +192,8 @@ def bench_flagship_sampling():
     props = jax.random.uniform(key, (FLAGSHIP_BATCH, 12), minval=-1.0,
                                maxval=1.0)
     target = jnp.zeros((2, model.max_length, model.pred_dim))
-    variables = jax.jit(model.init)(key, props[:2], target, key)
+    variables = _replicate(jax.jit(model.init)(key, props[:2], target, key))
+    props = _shard_data(props)
 
     def run(k):
         return sample(model, variables, props, k, num_steps=NUM_STEPS,
@@ -149,12 +206,12 @@ def bench_flagship_sampling():
         _sync(run(jax.random.PRNGKey(2 + i)))
     dt = (time.perf_counter() - t0) / reps
     mol_per_s = FLAGSHIP_BATCH / dt
-    print(json.dumps({
+    _emit({
         "metric": "inverse_qm_diffusion_flagship91M_cfg64_sampling",
         "value": round(mol_per_s, 3),
         "unit": "molecules/s",
         "vs_baseline": round(mol_per_s / TORCH_CPU_FLAGSHIP_MOL_PER_S, 1),
-    }), flush=True)
+    })
 
 
 def bench_flagship_train():
@@ -173,7 +230,8 @@ def bench_flagship_train():
                                      model.pred_dim))
     variables = jax.jit(model.init)(key, cond[:2], target[:2], key)
     tx = make_optimizer(TrainConfig())
-    state = TrainState.create(variables["params"], tx)
+    state = _replicate(TrainState.create(variables["params"], tx))
+    cond, target = _shard_data(cond), _shard_data(target)
     step = make_diffusion_train_step(model, tx, donate=False,
                                      accumulation_steps=2)
 
@@ -194,13 +252,13 @@ def bench_flagship_train():
         _sync(losses)
     dt = (time.perf_counter() - t0) / (reps * steps)
     samples_per_s = batch / dt
-    print(json.dumps({
+    _emit({
         "metric": "inverse_qm_diffusion_flagship91M_train_step_accum2x512",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": round(
             samples_per_s / TORCH_CPU_FLAGSHIP_TRAIN_SAMPLES_PER_S, 1),
-    }), flush=True)
+    })
 
 
 def bench_ar_generation():
@@ -220,10 +278,12 @@ def bench_ar_generation():
     key = jax.random.PRNGKey(0)
     init_y = jax.random.uniform(key, (2, 12), minval=-1.0, maxval=1.0)
     init_ids = jnp.zeros((2, 4), jnp.int32)
-    variables = model.init({"params": key}, init_y, init_ids, key=key)
-    props = jax.random.uniform(jax.random.PRNGKey(1), (AR_BATCH, 12),
-                               minval=-1.0, maxval=1.0)
-    start = jnp.ones((AR_BATCH, 1), jnp.int32)
+    variables = _replicate(model.init({"params": key}, init_y, init_ids,
+                                      key=key))
+    props = _shard_data(
+        jax.random.uniform(jax.random.PRNGKey(1), (AR_BATCH, 12),
+                           minval=-1.0, maxval=1.0))
+    start = _shard_data(jnp.ones((AR_BATCH, 1), jnp.int32))
 
     def run(k):
         return generate_sequence(model, variables, props, start, k,
@@ -236,12 +296,12 @@ def bench_ar_generation():
         _sync(run(jax.random.PRNGKey(3 + i)))
     dt = (time.perf_counter() - t0) / reps
     tokens_per_s = AR_BATCH * AR_TOKENS / dt
-    print(json.dumps({
+    _emit({
         "metric": "inverse_transformer_ar_cfg_generation",
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tokens_per_s / TORCH_CPU_AR_TOKENS_PER_S, 1),
-    }), flush=True)
+    })
 
 
 def bench_train(model, variables):
@@ -254,7 +314,8 @@ def bench_train(model, variables):
     target = jax.random.normal(key, (TRAIN_BATCH, model.max_length,
                                      model.pred_dim))
     tx = make_optimizer(TrainConfig())
-    state = TrainState.create(variables["params"], tx)
+    state = _replicate(TrainState.create(variables["params"], tx))
+    cond, target = _shard_data(cond), _shard_data(target)
 
     def loss_fn(params, k):
         return model.apply({"params": params}, cond, target, k)
@@ -280,13 +341,13 @@ def bench_train(model, variables):
         _sync(losses)
     dt = (time.perf_counter() - t0) / (reps * TRAIN_STEPS)
     samples_per_s = TRAIN_BATCH / dt
-    print(json.dumps({
+    _emit({
         "metric": "inverse_qm_diffusion_train_step",
         "value": round(samples_per_s, 1),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / TORCH_CPU_TRAIN_SAMPLES_PER_S,
                              1),
-    }), flush=True)
+    })
 
 
 def _require_device(timeout_s: float = 900.0) -> None:
@@ -438,12 +499,24 @@ def main(argv=None):
         help="run only the named metric(s); repeatable.  Default: all five "
              "(the driver path).  Useful for smoke-testing one metric "
              "without burning a full TPU window.")
+    parser.add_argument(
+        "--dp", type=int, default=None, metavar="N",
+        help="run every metric data-parallel over an N-device ('data',) "
+             "mesh.  With fewer real devices it falls back to virtual CPU "
+             "devices (set XLA_FLAGS=--xla_force_host_platform_device_count"
+             "=N): the sharded programs compile+execute as correctness "
+             "evidence, labeled virtual_mesh=true with vs_baseline nulled. "
+             "On a real N-chip pod the same flag is the perf invocation.")
     args = parser.parse_args(argv)
     # Probe BEFORE the parent initializes the backend: the subprocess
     # probes absorb wedges/transient errors without poisoning this
     # process's client, and the parent only connects once a probe passed.
+    # (--dp's mesh construction initializes the backend, so it comes after.)
     _require_compute()
     _require_device()
+    global _DP_MESH
+    if args.dp:
+        _DP_MESH = _make_dp_mesh(args.dp)
     metrics = [
         ("sampling", None),
         ("train", None),

@@ -121,6 +121,12 @@ class TrainConfig:
     # every `print_loss` steps INSIDE the epoch, `generative.py:1139-1172`).
     # None = end-of-epoch only.
     eval_every_steps: Optional[int] = None
+    # End-of-epoch checkpoint cadence: save every Nth epoch (the final
+    # epoch of the run always saves so resume is exact).  With tiny
+    # epochs (small corpora) a save per epoch means a full host
+    # device_get + serialize every few steps — ~1.1 GB of state for the
+    # 91M flagship — which can dominate the train loop.
+    checkpoint_every_epochs: int = 1
     seed: int = 0
     # Split each batch into this many sequential microbatches inside ONE
     # jitted step (grads averaged before the single optimizer update).

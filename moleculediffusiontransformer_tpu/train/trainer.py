@@ -431,7 +431,9 @@ def train_diffusion(model, data_iter_fn: Callable[[], Iterable],
             if eval_fn is not None:
                 metrics = eval_fn(state)
                 logger.log(step=step, epoch=epoch, **metrics)
-            if checkpoint_dir:
+            if checkpoint_dir and (
+                    (epoch + 1) % config.checkpoint_every_epochs == 0
+                    or epoch == config.epochs - 1):
                 _save(state, step)
     finally:
         if loader is not None:

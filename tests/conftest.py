@@ -33,6 +33,70 @@ import types
 
 import pytest
 
+# ---------------------------------------------------------------- tiers ----
+# `pytest -m quick` (<5 min on CPU, VERDICT r4 item 7): every test NOT in a
+# slow module and not explicitly @pytest.mark.slow is auto-marked `quick`.
+# Slow modules are the golden-parity/compile-heavy/fuzz/subprocess files —
+# measured, not guessed (timings in PERF.md round-5 "test tiers" note).
+_SLOW_MODULES = {
+    "test_nn.py",                  # golden UNet parity: big compiles
+    "test_transformers.py",        # transformer zoo goldens
+    "test_models_train.py",        # training loops
+    "test_flagship_parity.py",     # 91M golden
+    "test_examples.py",            # runs the four example scripts
+    "test_export.py",              # jax.export round-trips
+    "test_torch_export.py",
+    "test_http_serve.py",          # daemon lifecycle
+    "test_transformer_fusion.py",  # Pallas interpret-mode kernels
+    "test_flash_attention.py",
+    "test_fuzz_audio.py", "test_fuzz_diffusion.py", "test_fuzz_unet.py",
+    "test_multihost.py", "test_fsdp.py", "test_pp.py",  # subprocess DCN
+    "test_audio_graph.py",         # DSP/golden audio lineage
+    "test_repro_tool.py",          # end-to-end baseline reproduction
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = os.path.basename(str(item.fspath))
+        if name in _SLOW_MODULES or "slow" in item.keywords:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
+
+# ------------------------------------------------- hardware audit trail ----
+# Whenever a TPU-gated test (@pytest.mark.tpu_hw) actually EXECUTES (i.e.
+# a TPU backend was present), append one JSONL record to HWTESTS.jsonl so
+# "passed on hardware <date>" claims are auditable (VERDICT r4 item 8).
+_HWTESTS_LOG = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "HWTESTS.jsonl")
+_hw_results = []
+
+
+def pytest_runtest_logreport(report):
+    if report.when != "call":
+        return
+    if "tpu_hw" in getattr(report, "keywords", {}):
+        _hw_results.append({"nodeid": report.nodeid,
+                            "outcome": report.outcome})
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _hw_results:
+        return
+    import datetime
+    import json
+    try:
+        import jax
+        kind = jax.devices()[0].device_kind
+    except Exception:  # pragma: no cover
+        kind = "unknown"
+    rec = {"date": datetime.datetime.now().isoformat(timespec="seconds"),
+           "device_kind": str(kind), "results": list(_hw_results)}
+    with open(_HWTESTS_LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
 
 _REF_ROOT = "/root/reference/MoleculeDiffusion"
 _REF_SAFE_MODULES = ("utils", "diffusion", "modules", "graphmodel", "model")  # importable without TF

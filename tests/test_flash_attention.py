@@ -203,6 +203,7 @@ def _tpu_available():
         return False
 
 
+@pytest.mark.tpu_hw
 @pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
 def test_flash_compiled_on_tpu_matches_composition():
     """The COMPILED Mosaic kernels (forward AND backward, not interpret

@@ -555,6 +555,7 @@ def _tpu_available():
         return False
 
 
+@pytest.mark.tpu_hw
 @pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
 def test_fused_compiled_on_tpu_matches_bf16_composition():
     """The COMPILED Mosaic kernel (not interpret mode) must match the bf16
@@ -577,6 +578,7 @@ def test_fused_compiled_on_tpu_matches_bf16_composition():
     assert d / scale < 0.05, (d, scale)
 
 
+@pytest.mark.tpu_hw
 @pytest.mark.skipif(not _tpu_available(), reason="needs a TPU backend")
 def test_fused_compiled_on_tpu_c512_raised_vmem():
     """The flagship's C=512 stage: its ~22 MB weight banks exceed Mosaic's

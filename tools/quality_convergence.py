@@ -1,0 +1,170 @@
+"""Train the four notebook tasks to quality PLATEAU and record the curves.
+
+Round-5 VERDICT item 1: the only prior quality anchors (30 epochs, 2048
+rows, tiny preset) prove the pipeline runs, not that the training stack
+CONVERGES to reference-grade quality.  This driver trains each task on a
+scaled chemically-valid synthetic corpus until its quality metric
+plateaus, evaluating on a fixed epoch cadence and appending every point
+to an in-repo JSONL curve (VERDICT item 3: quality evidence must be
+re-derivable from a fresh clone, not quoted from /tmp).
+
+Reference anchors being matched in spirit (real-QM9 blob still absent):
+  forward diffusion  R^2 0.9668   (Forward_Diffusion.ipynb cell 56)
+  inverse diffusion  novelty 0.25 (Inverse_Diffusion.ipynb cell 65)
+  inverse transformer novelty 0.2195 (Inverse_Transformer.ipynb cell 51)
+
+Mechanics: training runs in CHUNKS of ``--chunk-epochs`` epochs through
+``train.recipes.train_task`` with ``checkpoint_dir``+``resume=True`` —
+so a kill/wedge/TPU-window boundary costs at most one chunk, and simply
+re-running the same command continues the curve (this is also the
+checkpoint/resume-across-serialized-TPU-windows rehearsal the VERDICT
+asks for).  After each chunk the task's notebook metric is evaluated
+(``recipes.eval_task``) and appended to ``<out>/<task>.jsonl``; the run
+stops at ``--max-epochs`` or when the best metric hasn't improved by
+``--min-delta`` over the last ``--patience`` evals.
+
+The iterator seed varies per chunk (base seed + chunk index) so epochs
+don't replay one fixed batch order; init/eval seeds stay fixed.
+
+  # TPU (notebook preset, the evidence run; resumable):
+  python tools/quality_convergence.py --rows 20480 --out quality_r5
+
+  # CPU pilot (tiny preset, small corpus — undertraining diagnosis):
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS='' python tools/quality_convergence.py \
+      --preset tiny --rows 2048 --tasks forward_diffusion \
+      --chunk-epochs 30 --max-epochs 480 --out /tmp/quality_pilot
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# task -> (metric key, batch size, accumulation steps) at notebook scale.
+# Batches follow the reference (diffusion 1024 / transformer 256,
+# Inverse_Diffusion cell 64, Forward_Transformer cell 60); the 91M
+# inverse flagship exceeds the one-chip batch-512 envelope so it runs the
+# measured production configuration, 2x512 accumulation (PERF.md).
+TASK_PLAN = {
+    "forward_diffusion": ("r2", 1024, 1),
+    "inverse_diffusion": ("validity_fraction", 1024, 2),
+    "inverse_transformer": ("validity_fraction", 256, 1),
+    "forward_transformer": ("r2", 256, 1),
+}
+
+
+def run_task(task: str, data, args, out_dir: str) -> dict:
+    import jax
+
+    from moleculediffusiontransformer_tpu.core.config import TrainConfig
+    from moleculediffusiontransformer_tpu.train import recipes
+
+    metric_key, batch, accum = TASK_PLAN[task]
+    if args.preset == "tiny":
+        batch, accum = min(batch, 128), 1
+    curve_path = os.path.join(out_dir, f"{task}.jsonl")
+    ckpt_dir = os.path.join(out_dir, "ckpts", task)
+    model = recipes.build_model(task, data.vocab_size, args.preset)
+
+    history = []
+    if os.path.exists(curve_path):          # resuming: reload the curve
+        with open(curve_path) as f:
+            history = [json.loads(l) for l in f if l.strip()]
+    epochs_done = history[-1]["epoch"] if history else 0
+
+    def plateaued() -> bool:
+        vals = [h[metric_key] for h in history]
+        if len(vals) <= args.patience:
+            return False
+        best_before = max(vals[:-args.patience])
+        best_recent = max(vals[-args.patience:])
+        return best_recent - best_before < args.min_delta
+
+    eval_key = jax.random.PRNGKey(args.seed + 7)
+    while epochs_done < args.max_epochs and not plateaued():
+        chunk = min(args.chunk_epochs, args.max_epochs - epochs_done)
+        cfg = TrainConfig(
+            learning_rate=2e-4, batch_size=batch, epochs=chunk,
+            accumulation_steps=accum,
+            seed=args.seed + epochs_done // max(args.chunk_epochs, 1),
+            eval_every_steps=0, checkpoint_every_epochs=chunk)
+        t0 = time.time()
+        params = recipes.train_task(task, model, data, cfg,
+                                    checkpoint_dir=ckpt_dir, resume=True)
+        train_s = time.time() - t0
+        t0 = time.time()
+        m = recipes.eval_task(task, model, {"params": params}, data,
+                              eval_key, timesteps=args.timesteps,
+                              num_rescore=args.num_rescore,
+                              num_generate=args.num_generate)
+        epochs_done += chunk
+        rec = {"task": task, "epoch": epochs_done,
+               "train_s": round(train_s, 1),
+               "eval_s": round(time.time() - t0, 1)}
+        rec.update({k: (round(float(v), 4) if hasattr(v, "__float__") else v)
+                    for k, v in m.items()
+                    if not isinstance(v, (list, dict))})
+        history.append(rec)
+        with open(curve_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[{task}] epoch {epochs_done}: {metric_key}="
+              f"{rec[metric_key]:.4f}  (train {train_s:.0f}s)", flush=True)
+    best = max(h[metric_key] for h in history)
+    return {"task": task, "metric": metric_key, "best": best,
+            "final": history[-1][metric_key],
+            "epochs": history[-1]["epoch"],
+            "plateaued": plateaued(), "curve": curve_path}
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--rows", type=int, default=20480)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--preset", choices=("notebook", "tiny"),
+                   default="notebook")
+    p.add_argument("--tasks", default="all",
+                   help="comma-separated task names, or 'all'")
+    p.add_argument("--chunk-epochs", type=int, default=25,
+                   help="epochs per train chunk between evals/checkpoints")
+    p.add_argument("--max-epochs", type=int, default=1000)
+    p.add_argument("--patience", type=int, default=5,
+                   help="stop when best metric over the last N evals beats "
+                        "the prior best by < --min-delta")
+    p.add_argument("--min-delta", type=float, default=0.005)
+    p.add_argument("--timesteps", type=int, default=100)
+    p.add_argument("--num-rescore", type=int, default=64,
+                   help="forward-R2 eval sample count (64 stabilizes the "
+                        "curve; the notebook-parity 16-sample figure is "
+                        "re-reported by tools/reproduce_baseline.py)")
+    p.add_argument("--num-generate", type=int, default=41)
+    p.add_argument("--out", default="quality_r5")
+    args = p.parse_args()
+
+    from moleculediffusiontransformer_tpu.data.qm9 import (prepare_qm9,
+                                                           synthetic_qm9)
+    from moleculediffusiontransformer_tpu.train import recipes
+
+    os.makedirs(args.out, exist_ok=True)
+    tasks = (list(TASK_PLAN) if args.tasks == "all"
+             else args.tasks.split(","))
+    smiles, props = synthetic_qm9(n=args.rows, seed=args.seed,
+                                  chemically_valid=True)
+    summary = {"rows": args.rows, "seed": args.seed, "preset": args.preset,
+               "corpus": "synthetic_qm9(chemically_valid=True)",
+               "optimizer": "adam 2e-4 + grad-clip 0.5 "
+                            "(reference generative.py:1132)",
+               "tasks": {}}
+    for task in tasks:
+        data = prepare_qm9(smiles, props, mode=recipes.data_mode(task))
+        summary["tasks"][task] = run_task(task, data, args, args.out)
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()
