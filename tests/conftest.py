@@ -51,6 +51,8 @@ _SLOW_MODULES = {
     "test_flash_attention.py",
     "test_fuzz_audio.py", "test_fuzz_diffusion.py", "test_fuzz_unet.py",
     "test_multihost.py", "test_fsdp.py", "test_pp.py",  # subprocess DCN
+    "test_ep.py", "test_sp.py",    # sharded-oracle compiles (~30-50s each)
+    "test_graft_entry.py",         # dryrun_multichip: 371s measured
     "test_audio_graph.py",         # DSP/golden audio lineage
     "test_repro_tool.py",          # end-to-end baseline reproduction
 }

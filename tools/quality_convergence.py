@@ -92,6 +92,9 @@ def run_task(task: str, data, args, out_dir: str) -> dict:
             accumulation_steps=accum,
             seed=args.seed + epochs_done // max(args.chunk_epochs, 1),
             eval_every_steps=0, checkpoint_every_epochs=chunk)
+        print(f"[{task}] training epochs {epochs_done + 1}..."
+              f"{epochs_done + chunk} (batch {batch} x accum {accum})",
+              flush=True)
         t0 = time.time()
         params = recipes.train_task(task, model, data, cfg,
                                     checkpoint_dir=ckpt_dir, resume=True)
