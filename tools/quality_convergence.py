@@ -46,12 +46,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # task -> (metric key, batch size, accumulation steps) at notebook scale.
 # Batches follow the reference (diffusion 1024 / transformer 256,
-# Inverse_Diffusion cell 64, Forward_Transformer cell 60); the 91M
-# inverse flagship exceeds the one-chip batch-512 envelope so it runs the
-# measured production configuration, 2x512 accumulation (PERF.md).
+# Inverse_Diffusion cell 64, Forward_Transformer cell 60).  Quality
+# training runs fp32 (reference-faithful), which HALVES the bf16
+# activation envelopes PERF.md measured: batch-1024 fp32 forward hits a
+# scoped-VMEM compile OOM in the fused backward (caught by the trainer
+# preflight 2026-08-21), and the 91M inverse's bf16 envelope is already
+# <=512/chip — so both diffusion tasks accumulate down to fp32-safe
+# microbatches (2x512 / 4x256) while the optimizer still sees the
+# reference's full batch-1024 gradient.
 TASK_PLAN = {
-    "forward_diffusion": ("r2", 1024, 1),
-    "inverse_diffusion": ("validity_fraction", 1024, 2),
+    "forward_diffusion": ("r2", 1024, 2),
+    "inverse_diffusion": ("validity_fraction", 1024, 4),
     "inverse_transformer": ("validity_fraction", 256, 1),
     "forward_transformer": ("r2", 256, 1),
 }
