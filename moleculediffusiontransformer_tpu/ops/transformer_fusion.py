@@ -575,7 +575,12 @@ def _compiler_params(pltpu, interpret: bool, est_bytes: int) -> dict:
     small geometries keep the exact round-2 compilation behavior."""
     if interpret or est_bytes <= _VMEM_DEFAULT_BYTES * 3 // 4:
         return {}
-    limit = min(_VMEM_CAP_BYTES, max(32 * 1024 * 1024, est_bytes * 5 // 4))
+    # 3/2 slack over the estimate: the fp32 forward-preset train step
+    # (L=64, C=128, cross, micro 512) measured an actual stack need 35%
+    # above the estimate (56.2M vs est*5/4 = 52.5M requested — scoped
+    # OOM at compile, 2026-08-21); physical VMEM is 128M so a generous
+    # limit costs nothing when the true need is smaller.
+    limit = min(_VMEM_CAP_BYTES, max(32 * 1024 * 1024, est_bytes * 3 // 2))
     return {"compiler_params": pltpu.CompilerParams(
         vmem_limit_bytes=limit)}
 
