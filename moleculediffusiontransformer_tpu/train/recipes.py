@@ -31,6 +31,20 @@ import numpy as np
 TASKS = ("forward_diffusion", "inverse_diffusion",
          "inverse_transformer", "forward_transformer")
 
+# task -> (batch, accumulation_steps) for NOTEBOOK-preset training on one
+# v5e chip.  Batches follow the reference (diffusion 1024, transformer
+# 256 — Inverse_Diffusion.ipynb cell 64, Forward_Transformer cell 60);
+# fp32 training halves the bf16 activation envelopes PERF.md measured,
+# so the diffusion tasks accumulate to fp32-safe microbatches (2x512 /
+# 4x256) while the optimizer still sees the full reference batch.
+# Validated by the round-5 quality-convergence runs (QUALITY.md).
+PRODUCTION_BATCHES = {
+    "forward_diffusion": (1024, 2),
+    "inverse_diffusion": (1024, 4),
+    "inverse_transformer": (256, 1),
+    "forward_transformer": (256, 1),
+}
+
 
 def data_mode(task: str) -> str:
     """`prepare_qm9` mode for a task (the two transformer tasks share the

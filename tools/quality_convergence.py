@@ -60,6 +60,11 @@ TASK_PLAN = {
     "inverse_transformer": ("validity_fraction", 256, 1),
     "forward_transformer": ("r2", 256, 1),
 }
+# (batch, accum) above must stay in sync with the shared production plan
+# — asserted at import so the two can't drift:
+from moleculediffusiontransformer_tpu.train.recipes import (  # noqa: E402
+    PRODUCTION_BATCHES as _PB)
+assert {k: v[1:] for k, v in TASK_PLAN.items()} == _PB
 
 
 def run_task(task: str, data, args, out_dir: str) -> dict:

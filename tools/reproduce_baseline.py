@@ -85,7 +85,11 @@ def main():
                    default="tiny",
                    help="architecture scale for --train-epochs (tiny: "
                    "CPU-feasible; notebook: full presets — run on TPU)")
-    p.add_argument("--train-batch", type=int, default=128)
+    p.add_argument("--train-batch", type=int, default=None,
+                   help="override the per-task batch (default: the "
+                   "recipes.PRODUCTION_BATCHES plan for the notebook "
+                   "preset — reference batches with fp32-safe "
+                   "accumulation — or 128 for tiny)")
     p.add_argument("--expect-sha256", default=None,
                    help="make the CSV checksum check fatal against this "
                    "hash (default: structural checks fatal, hash recorded)")
@@ -120,13 +124,23 @@ def main():
     if args.train_epochs:
         results["training"] = {"epochs": args.train_epochs,
                                "preset": args.train_preset,
-                               "batch": args.train_batch,
+                               "batch": args.train_batch or "production plan",
                                "optimizer": "adam 2e-4 + grad-clip 0.5 "
                                             "(reference generative.py:1132)"}
-    # reference training hyperparameters: Adam 2e-4 + grad-clip 0.5
-    # (generative.py:1132; Inverse_Diffusion.ipynb cell 64)
-    train_cfg = TrainConfig(learning_rate=2e-4, batch_size=args.train_batch,
-                            epochs=args.train_epochs, seed=args.seed)
+
+    def task_train_cfg(task):
+        """Reference hyperparameters (Adam 2e-4 + grad-clip 0.5,
+        generative.py:1132) at the per-task production batch geometry
+        (recipes.PRODUCTION_BATCHES) unless --train-batch overrides."""
+        if args.train_batch is not None:
+            batch, accum = args.train_batch, 1
+        elif args.train_preset == "notebook":
+            batch, accum = recipes.PRODUCTION_BATCHES[task]
+        else:
+            batch, accum = 128, 1
+        return TrainConfig(learning_rate=2e-4, batch_size=batch,
+                           accumulation_steps=accum,
+                           epochs=args.train_epochs, seed=args.seed)
 
     def get_model_params(task, data):
         """Checkpoint > in-process training > random init, per task."""
@@ -135,9 +149,11 @@ def main():
         preset = args.train_preset if train else "notebook"
         model = recipes.build_model(task, data.vocab_size, preset)
         if train:
-            params = recipes.train_task(task, model, data, train_cfg)
+            cfg = task_train_cfg(task)
+            params = recipes.train_task(task, model, data, cfg)
             src = (f"trained in-process ({preset} preset, "
-                   f"{args.train_epochs} epochs, batch {args.train_batch})")
+                   f"{args.train_epochs} epochs, batch {cfg.batch_size}"
+                   f"x{cfg.accumulation_steps} accum)")
         else:
             params, src = recipes.load_params(ckpt, task, model)
         results["checkpoints"][task] = src
