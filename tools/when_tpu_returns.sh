@@ -93,3 +93,6 @@ if [ "${1:-}" != "--skip-bench" ]; then
 fi
 
 echo "=== done; logs in $LOGDIR — paste numbers into PERF.md flash section ==="
+echo "If a quality-convergence run was interrupted (QUALITY.md), resume it —"
+echo "the same command continues the curve from the last chunk's checkpoint:"
+echo "  python tools/quality_convergence.py --rows 20480 --tasks <task> --out quality_r5"
