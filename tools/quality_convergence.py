@@ -144,9 +144,13 @@ def main():
     p.add_argument("--chunk-epochs", type=int, default=25,
                    help="epochs per train chunk between evals/checkpoints")
     p.add_argument("--max-epochs", type=int, default=1000)
-    p.add_argument("--patience", type=int, default=5,
+    p.add_argument("--patience", type=int, default=8,
                    help="stop when best metric over the last N evals beats "
-                        "the prior best by < --min-delta")
+                        "the prior best by < --min-delta.  Default 8: the "
+                        "round-5 run showed 5 is premature for the noisy "
+                        "41-sample validity metric — the 91M inverse "
+                        "'plateaued' at 0.51 (epoch 300) but resumed to "
+                        "0.68 by epoch 525 (QUALITY.md)")
     p.add_argument("--min-delta", type=float, default=0.005)
     p.add_argument("--timesteps", type=int, default=100)
     p.add_argument("--num-rescore", type=int, default=64,
